@@ -1,0 +1,223 @@
+"""Jitted training step and host-side epoch loop.
+
+One compiled program per step does everything the reference spreads across
+CPU collate workers and many torch kernel launches (model_manager.py:257-326):
+on-device B→B² feature swap, forward, all five losses, backward, and the Adam
+update. Data parallelism is a shard_map over the `data` mesh axis with a
+psum gradient all-reduce (the XLA-collective equivalent of DDP/NCCL — see
+parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.swap import swap_features_dynamic
+from ..models.sdvae import (SDVAEConfig, SpiralGeometry, forward,
+                            to_vertex_major)
+from ..models.mlp import mlp_apply
+from .losses import (kl_divergence_loss, laplacian_loss,
+                     latent_consistency_loss, mse_loss, region_feature_mask,
+                     weighted_cross_entropy)
+
+__all__ = ["LossWeights", "TrainState", "create_train_state",
+           "make_train_step", "make_eval_step", "LOSS_KEYS"]
+
+LOSS_KEYS = ["reconstruction", "kl", "latent_consistency", "laplacian",
+             "classification", "classification_acc", "tot"]
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    kl: float = 1e-4
+    laplacian: float = 0.1
+    latent_consistency: float = 0.5
+    eta1: float = 0.5
+    eta2: float = 0.5
+    classification: float = 0.0
+
+    @classmethod
+    def from_config(cls, opt_cfg: dict, clf_cfg: dict | None = None):
+        w_class = 0.0
+        if clf_cfg and clf_cfg.get("mlp_training_type") == "end2end":
+            w_class = float(clf_cfg.get("mlp_loss_weight", 1.0))
+        return cls(
+            kl=float(opt_cfg.get("kl_weight", 0.0)),
+            laplacian=float(opt_cfg.get("laplacian_weight", 0.0)),
+            latent_consistency=float(
+                opt_cfg.get("latent_consistency_weight", 0.0)),
+            eta1=float(opt_cfg.get("latent_consistency_eta1", 0.5)),
+            eta2=float(opt_cfg.get("latent_consistency_eta2", 0.5)),
+            classification=w_class,
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    clf_params: Any = None
+    clf_opt_state: Any = None
+    epoch: int = 0
+
+    def tree_flatten(self):
+        return ((self.params, self.opt_state, self.clf_params,
+                 self.clf_opt_state), (self.epoch,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, epoch=aux[0])
+
+
+def create_train_state(params, optimizer, clf_params=None,
+                       clf_optimizer=None) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        clf_params=clf_params,
+        clf_opt_state=(clf_optimizer.init(clf_params)
+                       if clf_params is not None else None),
+    )
+
+
+def _compute_losses(params, clf_params, geom: SpiralGeometry,
+                    config: SDVAEConfig, weights: LossWeights,
+                    x_grid, region_idx, labels, class_weights,
+                    batch_size: int, key, training: bool,
+                    swap: bool):
+    out, z, mu, logvar = forward(params, geom, config, x_grid, key,
+                                 training=training)
+    loss_recon = mse_loss(out, x_grid)
+    loss_lap = laplacian_loss(geom.laplacian, out) \
+        if weights.laplacian > 0 else 0.0
+    loss_kl = kl_divergence_loss(mu, logvar) if config.is_vae else 0.0
+
+    if swap and weights.latent_consistency > 0:
+        fmask = region_feature_mask(config.latent_size,
+                                    geom.region_masks.shape[0], region_idx)
+        loss_cons = latent_consistency_loss(z, fmask, batch_size,
+                                            weights.eta1, weights.eta2)
+    else:
+        loss_cons = 0.0
+
+    loss_class, acc_class = 0.0, 0.0
+    if clf_params is not None and weights.classification > 0 \
+            and labels is not None:
+        if swap:
+            diag = (batch_size + 1) * jnp.arange(batch_size)
+            z_diag = z[diag]
+        else:
+            z_diag = z
+        logits, _ = mlp_apply(clf_params, z_diag)
+        loss_class, acc_class = weighted_cross_entropy(
+            logits, labels, class_weights)
+
+    loss_tot = (loss_recon
+                + weights.kl * loss_kl
+                + weights.latent_consistency * loss_cons
+                + weights.laplacian * loss_lap
+                + weights.classification * loss_class)
+    metrics = {
+        "reconstruction": loss_recon,
+        "kl": loss_kl,
+        "latent_consistency": loss_cons,
+        "laplacian": loss_lap,
+        "classification": loss_class,
+        "classification_acc": acc_class,
+        "tot": loss_tot,
+    }
+    return loss_tot, metrics
+
+
+def make_train_step(config: SDVAEConfig, weights: LossWeights,
+                    optimizer, batch_size: int, swap: bool = True,
+                    clf_optimizer=None, axis_name: str | None = None):
+    """Build the jitted train step.
+
+    step(state, geom, x [B,N,3], labels [B] | None, class_weights, key)
+      → (state, metrics). With axis_name set, gradients are psum-averaged
+    across that mesh axis (for use under shard_map).
+    """
+
+    def step(state: TrainState, geom: SpiralGeometry, x, labels,
+             class_weights, key):
+        k_region, k_reparam = jax.random.split(key)
+        x_vm = to_vertex_major(x)                    # [B,N,3] → [N,B,3]
+        if swap:
+            n_regions = geom.region_masks.shape[0]
+            region_idx = jax.random.randint(k_region, (), 0, n_regions)
+            x_grid = swap_features_dynamic(x_vm, geom.region_masks,
+                                           region_idx)
+        else:
+            region_idx = jnp.int32(0)
+            x_grid = x_vm
+
+        def loss_fn(params, clf_params):
+            return _compute_losses(
+                params, clf_params, geom, config, weights, x_grid,
+                region_idx, labels, class_weights, batch_size, k_reparam,
+                training=True, swap=swap)
+
+        (loss, metrics), (grads, clf_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.clf_params)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            if clf_grads is not None:
+                clf_grads = jax.lax.pmean(clf_grads, axis_name)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        clf_params, clf_opt_state = state.clf_params, state.clf_opt_state
+        if clf_params is not None and clf_optimizer is not None \
+                and weights.classification > 0:
+            clf_updates, clf_opt_state = clf_optimizer.update(
+                clf_grads, state.clf_opt_state, clf_params)
+            clf_params = optax.apply_updates(clf_params, clf_updates)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               clf_params=clf_params,
+                               clf_opt_state=clf_opt_state,
+                               epoch=state.epoch)
+        return new_state, metrics
+
+    if axis_name is None:
+        return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(config: SDVAEConfig, weights: LossWeights,
+                   batch_size: int, swap: bool = True):
+    """Validation: same losses, no update, deterministic forward (z=mu)."""
+
+    @jax.jit
+    def step(state: TrainState, geom: SpiralGeometry, x, labels,
+             class_weights, key):
+        k_region, k_reparam = jax.random.split(key)
+        x_vm = to_vertex_major(x)
+        if swap:
+            n_regions = geom.region_masks.shape[0]
+            region_idx = jax.random.randint(k_region, (), 0, n_regions)
+            x_grid = swap_features_dynamic(x_vm, geom.region_masks,
+                                           region_idx)
+        else:
+            region_idx = jnp.int32(0)
+            x_grid = x_vm
+        _, metrics = _compute_losses(
+            state.params, state.clf_params, geom, config, weights, x_grid,
+            region_idx, labels, class_weights, batch_size, k_reparam,
+            training=False, swap=swap)
+        return metrics
+
+    return step

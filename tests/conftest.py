@@ -5,11 +5,16 @@ process."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = \
         _flags + " --xla_force_host_platform_device_count=8"
+
+# The axon TPU plugin in this image overrides the JAX_PLATFORMS env var;
+# jax.config is the reliable way to force the virtual-CPU platform.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
