@@ -1,0 +1,465 @@
+"""Latent-space syndrome classifiers (reference model_manager.py:96-147,
+448-546).
+
+The reference delegates to sklearn (liblinear C++/LAPACK). Here LDA and QDA
+are implemented closed-form — class means, covariances, and Gaussian
+log-posteriors are a handful of (batched) matmuls/cholesky solves, natural
+on TPU and trivially vectorized over the 15 per-region 5-dim classifiers.
+The linear SVM is one-vs-rest squared-hinge with balanced class weights
+(LinearSVC's objective) optimized with full-batch Adam — the latent datasets
+are hundreds-to-thousands of 75-dim points, so this converges in
+milliseconds.
+
+Reference sklearn pickles (demo_files/checkpoints/{lda,qda}_classifier.pkl,
+region_ldas.pkl) import directly via from_sklearn — the demo diagnosis path
+reproduces the reference's predictions exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["QDAClassifier", "LDAClassifier", "LinearSVM", "MLPTrainer",
+           "LatentClassifiers"]
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class QDAClassifier:
+    """Quadratic discriminant analysis: per-class Gaussian with full
+    covariance, uniform-from-data priors."""
+    means: np.ndarray = None       # [C, D]
+    covs: np.ndarray = None        # [C, D, D]
+    priors: np.ndarray = None      # [C]
+    classes: np.ndarray = None     # [C] label ids
+
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "QDAClassifier":
+        self.classes = np.unique(y)
+        means, covs, priors = [], [], []
+        for c in self.classes:
+            xc = x[y == c]
+            means.append(xc.mean(axis=0))
+            covs.append(np.cov(xc, rowvar=False, ddof=1))
+            priors.append(len(xc) / len(x))
+        self.means = np.stack(means)
+        self.covs = np.stack(covs)
+        self.priors = np.asarray(priors)
+        return self
+
+    def log_posteriors(self, x: np.ndarray) -> np.ndarray:
+        x = np.atleast_2d(x)
+        out = np.empty((len(x), len(self.classes)))
+        for i, _ in enumerate(self.classes):
+            diff = x - self.means[i]
+            cov = self.covs[i]
+            sign, logdet = np.linalg.slogdet(cov)
+            sol = np.linalg.solve(cov, diff.T).T
+            maha = np.einsum("nd,nd->n", diff, sol)
+            out[:, i] = -0.5 * (logdet + maha) + np.log(self.priors[i])
+        return out
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return self.classes[np.argmax(self.log_posteriors(x), axis=1)]
+
+    def score(self, x, y) -> float:
+        return float(np.mean(self.predict(x) == y))
+
+    def sample(self, class_idx: int, n: int = 1, seed: int = 0):
+        """Draw from the fitted class Gaussian (reference mm.py:509-514)."""
+        i = int(np.where(self.classes == class_idx)[0][0])
+        rng = np.random.default_rng(seed)
+        return rng.multivariate_normal(self.means[i], self.covs[i], n)
+
+    def mahalanobis(self, z, class_idx: int) -> float:
+        """Mahalanobis distance of z to the class Gaussian
+        (reference mm.py:516-529)."""
+        i = int(np.where(self.classes == class_idx)[0][0])
+        diff = np.asarray(z).reshape(-1) - self.means[i]
+        sol = np.linalg.solve(self.covs[i], diff)
+        return float(np.sqrt(diff @ sol))
+
+    @classmethod
+    def from_sklearn(cls, skl) -> "QDAClassifier":
+        c = cls()
+        c.means = np.asarray(skl.means_)
+        c.covs = np.stack([np.asarray(m) for m in skl.covariance_])
+        c.priors = np.asarray(skl.priors_)
+        c.classes = np.asarray(skl.classes_)
+        return c
+
+    def to_arrays(self, prefix=""):
+        return {f"{prefix}means": self.means, f"{prefix}covs": self.covs,
+                f"{prefix}priors": self.priors,
+                f"{prefix}classes": self.classes}
+
+    @classmethod
+    def from_arrays(cls, z, prefix=""):
+        return cls(means=z[f"{prefix}means"], covs=z[f"{prefix}covs"],
+                   priors=z[f"{prefix}priors"],
+                   classes=z[f"{prefix}classes"])
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class LDAClassifier:
+    """Linear discriminant analysis with a 2-D discriminant projection
+    (reference uses n_components=2, store_covariance=True)."""
+    means: np.ndarray = None       # [C, D]
+    cov: np.ndarray = None         # [D, D] pooled within-class
+    priors: np.ndarray = None
+    classes: np.ndarray = None
+    scalings: np.ndarray = None    # [D, n_components]
+    xbar: np.ndarray = None        # overall weighted mean
+    n_components: int = 2
+
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "LDAClassifier":
+        self.classes = np.unique(y)
+        c = len(self.classes)
+        d = x.shape[1]
+        means, priors = [], []
+        sw = np.zeros((d, d))
+        for cl in self.classes:
+            xc = x[y == cl]
+            means.append(xc.mean(axis=0))
+            priors.append(len(xc) / len(x))
+            diff = xc - xc.mean(axis=0)
+            sw += diff.T @ diff
+        self.means = np.stack(means)
+        self.priors = np.asarray(priors)
+        self.cov = sw / (len(x) - c)              # pooled, bias-corrected
+        self.xbar = self.priors @ self.means
+
+        # between-class scatter, eigen-solve Sw^-1 Sb for the projection
+        sb = np.zeros((d, d))
+        for i in range(c):
+            dm = (self.means[i] - self.xbar)[:, None]
+            sb += self.priors[i] * (dm @ dm.T)
+        evals, evecs = np.linalg.eig(
+            np.linalg.solve(self.cov + 1e-8 * np.eye(d), sb))
+        order = np.argsort(evals.real)[::-1]
+        k = min(self.n_components, c - 1)
+        self.scalings = evecs.real[:, order[:k]]
+        # normalize sign for determinism: largest-magnitude entry positive
+        for j in range(self.scalings.shape[1]):
+            i = np.argmax(np.abs(self.scalings[:, j]))
+            if self.scalings[i, j] < 0:
+                self.scalings[:, j] *= -1
+        return self
+
+    def decision_function(self, x: np.ndarray) -> np.ndarray:
+        x = np.atleast_2d(x)
+        sol = np.linalg.solve(self.cov, self.means.T)       # [D, C]
+        linear = x @ sol
+        const = -0.5 * np.einsum("cd,dc->c", self.means, sol) + \
+            np.log(self.priors)
+        return linear + const
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return self.classes[np.argmax(self.decision_function(x), axis=1)]
+
+    def score(self, x, y) -> float:
+        return float(np.mean(self.predict(x) == y))
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return (np.atleast_2d(x) - self.xbar) @ self.scalings
+
+    @classmethod
+    def from_sklearn(cls, skl) -> "LDAClassifier":
+        c = cls()
+        c.means = np.asarray(skl.means_)
+        c.cov = np.asarray(skl.covariance_)
+        c.priors = np.asarray(skl.priors_)
+        c.classes = np.asarray(skl.classes_)
+        c.xbar = np.asarray(getattr(skl, "xbar_", c.priors @ c.means))
+        c.scalings = np.asarray(skl.scalings_)[:, :c.n_components]
+        c._sklearn_transform = True
+        return c
+
+    def transform_sklearn_style(self, x: np.ndarray) -> np.ndarray:
+        """Exactly sklearn's svd-solver transform: (x - xbar_) @ scalings_."""
+        return (np.atleast_2d(x) - self.xbar) @ self.scalings
+
+    def to_arrays(self, prefix=""):
+        return {f"{prefix}means": self.means, f"{prefix}cov": self.cov,
+                f"{prefix}priors": self.priors,
+                f"{prefix}classes": self.classes,
+                f"{prefix}scalings": self.scalings,
+                f"{prefix}xbar": self.xbar}
+
+    @classmethod
+    def from_arrays(cls, z, prefix=""):
+        return cls(means=z[f"{prefix}means"], cov=z[f"{prefix}cov"],
+                   priors=z[f"{prefix}priors"],
+                   classes=z[f"{prefix}classes"],
+                   scalings=z[f"{prefix}scalings"], xbar=z[f"{prefix}xbar"])
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class LinearSVM:
+    """One-vs-rest L2-regularized squared-hinge linear SVM with 'balanced'
+    class weights — LinearSVC's objective (reference mm.py:123, 480-483) —
+    optimized full-batch with Adam in JAX."""
+    w: np.ndarray = None           # [D, C]
+    b: np.ndarray = None           # [C]
+    classes: np.ndarray = None
+    c_reg: float = 1.0
+
+    def fit(self, x: np.ndarray, y: np.ndarray, steps: int = 500,
+            lr: float = 0.05) -> "LinearSVM":
+        import optax
+
+        self.classes = np.unique(y)
+        n, d = x.shape
+        c = len(self.classes)
+        y_idx = np.searchsorted(self.classes, y)
+        targets = np.full((n, c), -1.0, np.float32)
+        targets[np.arange(n), y_idx] = 1.0
+        counts = np.bincount(y_idx, minlength=c)
+        sample_w = (n / (c * counts))[y_idx].astype(np.float32)
+
+        xj = jnp.asarray(x, jnp.float32)
+        tj = jnp.asarray(targets)
+        swj = jnp.asarray(sample_w)
+
+        def loss_fn(params):
+            scores = xj @ params["w"] + params["b"]
+            hinge = jnp.maximum(0.0, 1.0 - tj * scores) ** 2
+            return 0.5 * jnp.sum(params["w"] ** 2) + \
+                self.c_reg * jnp.sum(swj[:, None] * hinge)
+
+        params = {"w": jnp.zeros((d, c)), "b": jnp.zeros(c)}
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(steps):
+            params, opt_state, _ = step(params, opt_state)
+        self.w = np.asarray(params["w"])
+        self.b = np.asarray(params["b"])
+        return self
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        scores = np.atleast_2d(x) @ self.w + self.b
+        if len(self.classes) == 2:
+            return self.classes[(scores[:, 1] > scores[:, 0]).astype(int)]
+        return self.classes[np.argmax(scores, axis=1)]
+
+    def score(self, x, y) -> float:
+        return float(np.mean(self.predict(x) == y))
+
+    def to_arrays(self, prefix=""):
+        return {f"{prefix}w": self.w, f"{prefix}b": self.b,
+                f"{prefix}classes": self.classes}
+
+    @classmethod
+    def from_arrays(cls, z, prefix=""):
+        return cls(w=z[f"{prefix}w"], b=z[f"{prefix}b"],
+                   classes=z[f"{prefix}classes"])
+
+
+# ---------------------------------------------------------------------------
+class MLPTrainer:
+    """Post-hoc MLP head training (reference mm.py:428-471)."""
+
+    def __init__(self, latent_size, hidden, n_classes, lr=1e-4, epochs=50,
+                 seed=0):
+        from ..models.mlp import init_mlp
+
+        self.params = init_mlp(jax.random.PRNGKey(seed), latent_size,
+                               hidden, n_classes)
+        self.lr = lr
+        self.epochs = epochs
+
+    def fit(self, x, y, x_val=None, y_val=None, class_weights=None,
+            writer=None):
+        import optax
+
+        from ..models.mlp import mlp_apply
+        from ..training.losses import weighted_cross_entropy
+
+        n_classes = self.params[-1]["b"].shape[0]
+        cw = jnp.asarray(class_weights if class_weights is not None
+                         else np.ones(n_classes, np.float32))
+        xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32)
+        opt = optax.adamw(self.lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logits, _ = mlp_apply(p, xj)
+                loss, acc = weighted_cross_entropy(logits, yj, cw)
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, acc
+
+        for epoch in range(self.epochs):
+            self.params, opt_state, loss, acc = step(self.params, opt_state)
+            if writer is not None:
+                writer.add_scalar("train/class_loss", float(loss), epoch + 1)
+                writer.add_scalar("train/class_acc", float(acc), epoch + 1)
+        return self
+
+    def predict(self, x):
+        from ..models.mlp import mlp_apply
+
+        _, labels = mlp_apply(self.params, jnp.asarray(x, jnp.float32))
+        return np.asarray(labels)
+
+    def score(self, x, y) -> float:
+        return float(np.mean(self.predict(x) == np.asarray(y)))
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class LatentClassifiers:
+    """The full zoo: MLP + SVM + LDA + QDA + per-region LDA/QDA
+    (reference mm.py:96-147, 448-546)."""
+    latent_size: int = 75
+    latent_regions: dict | None = None
+    mlp_hidden: list = field(default_factory=lambda: [512, 128, 64])
+    mlp_lr: float = 1e-4
+    mlp_epochs: int = 50
+
+    mlp: MLPTrainer = None
+    svm: LinearSVM = None
+    lda: LDAClassifier = None
+    qda: QDAClassifier = None
+    region_ldas: dict = None
+    region_qdas: dict = None
+
+    def fit_all(self, z, y, z_val, y_val, class_weights=None, mlp_init=None,
+                writer=None) -> dict:
+        accs = {}
+        n_classes = int(np.max(y)) + 1
+        self.mlp = MLPTrainer(self.latent_size, self.mlp_hidden, n_classes,
+                              self.mlp_lr, self.mlp_epochs)
+        if mlp_init is not None:
+            self.mlp.params = mlp_init
+        else:
+            self.mlp.fit(z, y, class_weights=class_weights, writer=writer)
+        accs["mlp"] = self.mlp.score(z_val, y_val)
+
+        self.svm = LinearSVM().fit(z, y)
+        accs["svm"] = self.svm.score(z_val, y_val)
+        self.lda = LDAClassifier().fit(z, y)
+        accs["lda"] = self.lda.score(z_val, y_val)
+        self.qda = QDAClassifier().fit(z, y)
+        accs["qda"] = self.qda.score(z_val, y_val)
+
+        if self.latent_regions:
+            self.region_ldas, self.region_qdas = {}, {}
+            for key, (lo, hi) in self.latent_regions.items():
+                self.region_ldas[key] = LDAClassifier().fit(z[:, lo:hi], y)
+                self.region_qdas[key] = QDAClassifier().fit(z[:, lo:hi], y)
+        for k, v in accs.items():
+            print(f"{k.upper()} validation accuracy = {v:.4f}")
+        return accs
+
+    def predict(self, z, model: str = "qda") -> np.ndarray:
+        z = np.atleast_2d(z)
+        if model == "mlp":
+            return self.mlp.predict(z)
+        return {"svm": self.svm, "lda": self.lda,
+                "qda": self.qda}[model].predict(z)
+
+    def lda_transform(self, z) -> np.ndarray:
+        return self.lda.transform_sklearn_style(z) \
+            if hasattr(self.lda, "_sklearn_transform") \
+            else self.lda.transform(z)
+
+    def mahalanobis(self, z, class_idx: int, region: str = "all") -> float:
+        qda = self.qda if region == "all" else self.region_qdas[region]
+        zz = np.asarray(z).reshape(-1)
+        if region != "all":
+            lo, hi = self.latent_regions[region]
+            if zz.shape[0] == self.latent_size:
+                zz = zz[lo:hi]
+        return qda.mahalanobis(zz, class_idx)
+
+    def qda_sample(self, class_idx: int, n: int = 1, seed: int = 0):
+        return self.qda.sample(class_idx, n, seed)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, checkpoint_dir: str):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        arrays = {}
+        if self.svm is not None:
+            arrays.update(self.svm.to_arrays("svm_"))
+        if self.lda is not None:
+            arrays.update(self.lda.to_arrays("lda_"))
+        if self.qda is not None:
+            arrays.update(self.qda.to_arrays("qda_"))
+        if self.region_ldas:
+            for i, (k, c) in enumerate(self.region_ldas.items()):
+                arrays.update(c.to_arrays(f"rlda{i}_"))
+            arrays["region_keys"] = np.asarray(list(self.region_ldas.keys()))
+        if self.region_qdas:
+            for i, (k, c) in enumerate(self.region_qdas.items()):
+                arrays.update(c.to_arrays(f"rqda{i}_"))
+        np.savez(os.path.join(checkpoint_dir, "classifiers.npz"), **arrays)
+        if self.mlp is not None:
+            from flax import serialization
+            with open(os.path.join(checkpoint_dir, "mlp_classifier.ckpt"),
+                      "wb") as f:
+                f.write(serialization.to_bytes(self.mlp.params))
+
+    def load(self, checkpoint_dir: str):
+        path = os.path.join(checkpoint_dir, "classifiers.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        z = np.load(path, allow_pickle=False)
+        if "svm_w" in z:
+            self.svm = LinearSVM.from_arrays(z, "svm_")
+        if "lda_means" in z:
+            self.lda = LDAClassifier.from_arrays(z, "lda_")
+        if "qda_means" in z:
+            self.qda = QDAClassifier.from_arrays(z, "qda_")
+        if "region_keys" in z:
+            keys = [str(k) for k in z["region_keys"]]
+            self.region_ldas = {
+                k: LDAClassifier.from_arrays(z, f"rlda{i}_")
+                for i, k in enumerate(keys)}
+            self.region_qdas = {
+                k: QDAClassifier.from_arrays(z, f"rqda{i}_")
+                for i, k in enumerate(keys)}
+        return self
+
+    # -- reference interop ----------------------------------------------
+    def load_reference_pickles(self, checkpoint_dir: str):
+        """Import the reference's sklearn pickles
+        ({lda,qda}_classifier.pkl, region_{ldas,qdas}.pkl) for bit-parity
+        demo inference."""
+        lda_path = os.path.join(checkpoint_dir, "lda_classifier.pkl")
+        if os.path.exists(lda_path):
+            with open(lda_path, "rb") as f:
+                self.lda = LDAClassifier.from_sklearn(pickle.load(f))
+        qda_path = os.path.join(checkpoint_dir, "qda_classifier.pkl")
+        if os.path.exists(qda_path):
+            with open(qda_path, "rb") as f:
+                self.qda = QDAClassifier.from_sklearn(pickle.load(f))
+        for name, attr, cls in (
+                ("region_ldas.pkl", "region_ldas", LDAClassifier),
+                ("region_qdas.pkl", "region_qdas", QDAClassifier)):
+            path = os.path.join(checkpoint_dir, name)
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    ref = pickle.load(f)
+                setattr(self, attr,
+                        {k: cls.from_sklearn(v) for k, v in ref.items()})
+        return self

@@ -1,0 +1,355 @@
+"""Dataset pipeline: discovery, split, augmentation, normalization, batching.
+
+Functional equivalent of the reference's MeshInMemoryDataset + MeshLoader
+(data_loading.py:23-374) with the heavy work moved where it belongs on TPU:
+
+  * meshes are cached as one memory-mapped .npz per split (stacked arrays,
+    not 17k pickled Data objects);
+  * the feature-swap transform is NOT here — it runs on-device inside the
+    jitted train step (data/swap.py), so the host only ships B meshes/step
+    and no CPU worker pool is needed;
+  * offline augmentation (same modes/pairing rules as the reference:
+    same-class, same-age-group (<48 months) pairs, class-balanced counts)
+    uses the TPU eigendecomposition and batched spectral math.
+
+Replicated reference quirks (for behavioral parity):
+  * class label = first character of the filename; 'b' (paediatric) merges
+    into 'n' for labels, but stays a distinct class in the weight dict
+    (data_loading.py:265-266, model_manager.py:548-555);
+  * split: stratified (sklearn) or the deterministic i%100 rule;
+  * class weights = 1/count per class over the split's file names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geometry.mesh_io import read_mesh, write_obj
+from .augmentation import augment_pairs
+
+__all__ = ["MeshArrays", "DatasetSummary", "build_datasets", "BatchIterator",
+           "compute_class_weights"]
+
+AGE_SPLIT_MONTHS = 48  # reference data_loading.py:339 (3 years + birthday)
+
+
+@dataclass
+class DatasetSummary:
+    """xlsx dataset summary: mesh id → age/gender/used (reference
+    utils.py:193-231). Gated: absent file or missing xlsx engine → empty."""
+    ages: dict = field(default_factory=dict)
+    genders: dict = field(default_factory=dict)
+    used: list | None = None
+
+    @classmethod
+    def load(cls, path: str | None, data_type: str = "heads"):
+        if not path or path in ("none", "None") or not os.path.exists(path):
+            return cls()
+        try:
+            import pandas as pd
+            df = pd.read_excel(path)
+        except Exception as e:  # missing openpyxl or malformed file
+            print(f"[dataset] summary unavailable ({e}); continuing without")
+            return cls()
+        name_map = {"Paeds": "b", "Apert": "a", "Crouzon": "c",
+                    "Muenke": "m", "LSFM": "n", "LYHM": "n"}
+        df = df.copy()
+        df["mesh_name"] = df["Dataset"].map(name_map).fillna("nan")
+        id_col = "ID" if data_type == "heads" else "PID"
+        df["mesh_name"] = df["mesh_name"] + "_" + \
+            df[id_col].fillna(-1).astype(int).astype(str)
+        ages, genders = {}, {}
+        for _, row in df.iterrows():
+            age = row.get("AgeMonths")
+            if age is None or (isinstance(age, float) and np.isnan(age)):
+                yrs = row.get("AgeYears")
+                age = yrs * 12 + 6 if yrs == yrs else -1
+            ages[row["mesh_name"]] = float(age)
+            genders[row["mesh_name"]] = row.get("Gender", "n/a")
+        used_col = "Head Used" if data_type == "heads" else "Face Used"
+        used = None
+        if used_col in df.columns:
+            used = list(df.loc[df[used_col] == "y"]["mesh_name"])
+        return cls(ages=ages, genders=genders, used=used)
+
+    def age_and_gender(self, mesh_id: str):
+        return (self.ages.get(mesh_id, -1.0),
+                self.genders.get(mesh_id, "n/a"))
+
+
+@dataclass
+class MeshArrays:
+    """One split as stacked arrays."""
+    x: np.ndarray              # [M, N, 3] float32 (normalized if configured)
+    y: list                    # class chars ('b' merged to 'n')
+    age: np.ndarray            # [M]
+    gender: list
+    augmented: np.ndarray      # [M] bool
+    names: list
+
+    def __len__(self):
+        return len(self.y)
+
+
+def _label(name: str) -> str:
+    y = name.split("/")[1][0] if "/" in name else name[0]
+    return "n" if y == "b" else y
+
+
+def _class_char(name: str) -> str:
+    return name.split("/")[1][0] if "/" in name else name[0]
+
+
+def compute_class_weights(names: list) -> dict:
+    """{class_char: 1/count} (reference data_loading.py:152-161)."""
+    from collections import Counter
+    counts = Counter(_class_char(n) for n in names)
+    return {k: 1.0 / v for k, v in counts.items()}
+
+
+def find_filenames(root: str, data_to_use: list | None,
+                   find_augmented: bool = True) -> list:
+    files = []
+    for dirpath, _, fnames in os.walk(root):
+        for f in sorted(fnames):
+            if not (f.endswith(".ply") or f.endswith(".obj")):
+                continue
+            if "aug" not in dirpath:
+                if data_to_use is None or f[:-4] in data_to_use:
+                    files.append(f)
+            elif find_augmented:
+                files.append(os.path.join("augmented", f))
+    return files
+
+
+def split_files(all_files: list, stratified: bool, seed: int = 0):
+    """80/10/10 split (reference data_loading.py:180-218)."""
+    all_files = sorted(all_files)
+    if stratified:
+        from sklearn.model_selection import train_test_split
+        y = [name[0] for name in all_files]
+        train, rest, _, rest_y = train_test_split(
+            all_files, y, stratify=y, test_size=0.2, random_state=seed)
+        test, val, _, _ = train_test_split(
+            rest, rest_y, stratify=rest_y, test_size=0.5, random_state=seed)
+        return train, test, val
+    train, test, val = [], [], []
+    for i, fname in enumerate(all_files):
+        if i % 100 <= 5:
+            test.append(fname)
+        elif i % 100 <= 10:
+            val.append(fname)
+        else:
+            train.append(fname)
+    return train, test, val
+
+
+def _augment_train_list(root, train_list, template, summary, mode,
+                        aug_factor, balanced, rng):
+    """Generate synthetic meshes into <root>/augmented (reference
+    data_loading.py:292-374). Returns the extended train list."""
+    augmented_dir = os.path.join(root, "augmented")
+    if os.path.isdir(augmented_dir) and os.listdir(augmented_dir):
+        found = [n for n in sorted(os.listdir(augmented_dir))
+                 if n.endswith((".obj", ".ply"))]
+        print(f"[dataset] found {len(found)} previously augmented meshes")
+        return train_list + [os.path.join("augmented", n) for n in found]
+
+    eigvecs = None
+    if mode in ("spectral_comb", "spectral_interp"):
+        from ..ops.eigh import laplacian_eigendecomposition
+        print("[dataset] computing Laplacian eigenbasis (k=1000)…")
+        _, eigvecs = laplacian_eigendecomposition(template, k=1000)
+
+    classes: dict = {}
+    for name in train_list:
+        age, gender = summary.age_and_gender(name[:-4])
+        classes.setdefault(name[0], []).append(
+            {"name": name, "age": age, "gender": gender})
+    # merge paediatric into normal (reference data_loading.py:323-324)
+    if "b" in classes:
+        classes.setdefault("n", []).extend(classes.pop("b"))
+
+    os.makedirs(augmented_dir, exist_ok=True)
+    new_names = []
+    n_initial = len(train_list)
+    for c, info in classes.items():
+        if balanced:
+            target = (aug_factor * n_initial) // max(len(classes), 1)
+            n_aug = max(target - len(info), 0)
+        else:
+            n_aug = (aug_factor - 1) * len(info)
+
+        less_3y = [i for i in info if i["age"] < AGE_SPLIT_MONTHS]
+        more_3y = [i for i in info if i["age"] >= AGE_SPLIT_MONTHS]
+
+        # batched generation
+        pairs1, pairs2, names1, names2 = [], [], [], []
+        for _ in range(n_aug):
+            group = less_3y if (rng.random() < 0.5 and len(less_3y) >= 2) \
+                else (more_3y if len(more_3y) >= 2 else less_3y)
+            if len(group) < 2:
+                group = info
+            if len(group) < 2:
+                break
+            sel = rng.choice(len(group), 2, replace=False)
+            names1.append(group[sel[0]]["name"])
+            names2.append(group[sel[1]]["name"])
+
+        chunk = 32
+        for s in range(0, len(names1), chunk):
+            n1 = names1[s:s + chunk]
+            n2 = names2[s:s + chunk]
+            x1 = np.stack([read_mesh(os.path.join(root, n)).vertices
+                           for n in n1]).astype(np.float32)
+            x2 = np.stack([read_mesh(os.path.join(root, n)).vertices
+                           for n in n2]).astype(np.float32)
+            out, tags = augment_pairs(mode, x1, x2, rng, eigvecs)
+            for i, (a, b, tag) in enumerate(zip(n1, n2, tags)):
+                aug_name = a[:-4] + "_" + b[2:-4] + tag + str(s + i) + a[-4:]
+                write_obj(os.path.join(augmented_dir, aug_name), out[i],
+                          template.face)
+                new_names.append(os.path.join("augmented", aug_name))
+    print(f"[dataset] generated {len(new_names)} augmented meshes")
+    return train_list + new_names
+
+
+def _load_split_arrays(root, names, summary, mean, std, normalize,
+                       cache_path):
+    if os.path.exists(cache_path):
+        z = np.load(cache_path, allow_pickle=True)
+        return MeshArrays(x=z["x"], y=list(z["y"]), age=z["age"],
+                          gender=list(z["gender"]),
+                          augmented=z["augmented"], names=list(z["names"]))
+    xs, ys, ages, genders, augs = [], [], [], [], []
+    for name in names:
+        verts = read_mesh(os.path.join(root, name)).vertices \
+            .astype(np.float32)
+        if normalize:
+            verts = (verts - mean) / std
+        xs.append(verts)
+        ys.append(_label(name))
+        age, gender = summary.age_and_gender(
+            os.path.basename(name)[:-4])
+        ages.append(age)
+        genders.append(gender)
+        augs.append("aug" in name)
+    arrays = MeshArrays(
+        x=np.stack(xs) if xs else np.zeros((0, 0, 3), np.float32),
+        y=ys, age=np.asarray(ages, np.float32), gender=genders,
+        augmented=np.asarray(augs, bool), names=list(names))
+    np.savez_compressed(cache_path, x=arrays.x, y=np.asarray(arrays.y),
+                        age=arrays.age, gender=np.asarray(arrays.gender),
+                        augmented=arrays.augmented,
+                        names=np.asarray(arrays.names))
+    return arrays
+
+
+def build_datasets(config: dict, template, seed: int = 0):
+    """→ (train, val, test: MeshArrays, normalization_dict, class_weights).
+
+    Mirrors reference get_data_loaders (data_loading.py:23-51) minus the
+    worker-process loaders — batching is a thin host iterator and the swap
+    transform lives on device.
+    """
+    data_cfg = config["data"]
+    root = data_cfg["dataset_path"]
+    precomp = data_cfg["precomputed_path"]
+    os.makedirs(precomp, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    summary = DatasetSummary.load(data_cfg.get("dataset_summary_path"),
+                                  data_cfg.get("data_type", "heads"))
+
+    split_path = os.path.join(precomp, "data_split.json")
+    if os.path.exists(split_path):
+        with open(split_path) as f:
+            split = json.load(f)
+        train_names = split["train"]
+        test_names = split["test"]
+        val_names = split["val"]
+    else:
+        all_files = find_filenames(root, summary.used, find_augmented=False)
+        train_names, test_names, val_names = split_files(
+            all_files, data_cfg.get("stratified_split", False), seed)
+        if data_cfg.get("augmentation_factor", 0) > 0:
+            train_names = _augment_train_list(
+                root, train_names, template, summary,
+                data_cfg.get("augmentation_mode", "interpolate"),
+                data_cfg.get("augmentation_factor", 0),
+                data_cfg.get("augmentation_balanced", True), rng)
+        with open(split_path, "w") as f:
+            json.dump({"train": train_names, "test": test_names,
+                       "val": val_names}, f)
+
+    # normalization stats over the train split (cached)
+    norm_path = os.path.join(precomp, "norm.npz")
+    if os.path.exists(norm_path):
+        z = np.load(norm_path)
+        mean, std = z["mean"], z["std"]
+    else:
+        acc = None
+        for i, name in enumerate(train_names):
+            v = read_mesh(os.path.join(root, name)).vertices
+            if acc is None:
+                acc = np.zeros((len(train_names),) + v.shape, np.float64)
+            acc[i] = v
+        mean = acc.mean(axis=0).astype(np.float32)
+        std = acc.std(axis=0, ddof=1).astype(np.float32)
+        std = np.where(std > 0, std, 1e-8)
+        np.savez(norm_path, mean=mean, std=std)
+    normalization = {"mean": mean, "std": std}
+
+    normalize = data_cfg.get("normalize_data", True)
+    train = _load_split_arrays(root, train_names, summary, mean, std,
+                               normalize,
+                               os.path.join(precomp, "training.npz"))
+    test = _load_split_arrays(root, test_names, summary, mean, std,
+                              normalize, os.path.join(precomp, "test.npz"))
+    val = _load_split_arrays(root, val_names, summary, mean, std,
+                             normalize, os.path.join(precomp, "val.npz"))
+
+    class_weights = compute_class_weights(train_names)
+    return train, val, test, normalization, class_weights
+
+
+class BatchIterator:
+    """Host-side batcher: shuffled fixed-size numpy batches, drop_last
+    (reference uses drop_last=True everywhere, data_loading.py:40-48)."""
+
+    def __init__(self, arrays: MeshArrays, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, class2idx: dict | None = None):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.class2idx = class2idx
+
+    def __len__(self):
+        n = len(self.arrays)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.arrays)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            idx = order[s:s + self.batch_size]
+            batch = {
+                "x": self.arrays.x[idx],
+                "y": [self.arrays.y[i] for i in idx],
+                "age": self.arrays.age[idx],
+                "gender": [self.arrays.gender[i] for i in idx],
+                "augmented": self.arrays.augmented[idx],
+            }
+            if self.class2idx is not None:
+                batch["labels"] = np.asarray(
+                    [self.class2idx[y] for y in batch["y"]], np.int32)
+            yield batch

@@ -1,0 +1,357 @@
+"""ModelManager: the orchestration layer (reference model_manager.py analog).
+
+Owns config → geometry → model params → optimizer → train/eval loops →
+checkpointing → latent classifiers, exposing the same surface the reference's
+god-object does (run_epoch / encode / generate / encode_all /
+train_and_validate_classifiers / classify_latent / save_weights / resume /
+latent_regions) so users migrating from the PyTorch implementation find the
+API they know — but every hot path delegates to the jitted TPU train step.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .geometry import load_or_compute_geometry, load_template
+from .models import (SDVAEConfig, SpiralGeometry, decode, encode, forward,
+                     init_sdvae, init_mlp, latent_regions)
+from .training import (LOSS_KEYS, LossWeights, create_train_state,
+                       make_eval_step, make_train_step)
+from .training.checkpoint import resume_checkpoint, save_checkpoint
+from .utils import class_conversions_and_weights
+
+__all__ = ["ModelManager"]
+
+
+class ModelManager:
+    def __init__(self, configurations: dict, precomputed_storage_path:
+                 str = "precomputed", seed: int = 0):
+        self.config = configurations
+        self._model_params = configurations["model"]
+        self._optimization_params = configurations["optimization"]
+        self._data_params = configurations["data"]
+        self._classifier_params = configurations.get("classifier")
+        self.to_mm_const = float(
+            self._data_params.get("to_mm_constant", 1.0))
+
+        # --- geometry (cached precompute, reference mm.py:176-230) --------
+        self.template = load_template(self._data_params["template_path"])
+        sampling = self._model_params["sampling"]
+        spirals = self._model_params["spirals"]
+        self.bundle = load_or_compute_geometry(
+            precomputed_storage_path, self.template,
+            sampling["sampling_factors"], spirals["length"],
+            spirals["dilation"],
+            region_weighted=sampling.get("type", "basic") != "basic")
+        self.geometry = SpiralGeometry.from_bundle(self.bundle)
+
+        # --- model + losses ----------------------------------------------
+        self.loss_weights = LossWeights.from_config(
+            self._optimization_params, self._classifier_params)
+        self.net_config = SDVAEConfig.from_dict(
+            self._model_params, self.loss_weights.kl)
+        self.swap_features = bool(
+            self._data_params.get("swap_features", False))
+        if self.loss_weights.latent_consistency > 0:
+            assert self.swap_features, \
+                "latent consistency requires swap_features"
+        self.batch_size = int(self._optimization_params["batch_size"])
+
+        key = jax.random.PRNGKey(seed)
+        k_net, k_clf = jax.random.split(key)
+        params = init_sdvae(k_net, self.net_config, self.geometry)
+
+        self.optimizer = optax.adamw(
+            float(self._optimization_params["lr"]),
+            weight_decay=float(
+                self._optimization_params.get("weight_decay", 0.0)))
+
+        clf_params = None
+        self.clf_optimizer = None
+        self._mlp_end2end = False
+        if self._classifier_params:
+            self._mlp_end2end = \
+                self._classifier_params.get("mlp_training_type") == "end2end"
+            n_classes = self._count_dataset_classes()
+            clf_params = init_mlp(
+                k_clf, self._model_params["latent_size"],
+                self._classifier_params["mlp_hidden_features"], n_classes)
+            self.clf_optimizer = optax.adamw(
+                float(self._classifier_params.get("mlp_lr", 1e-4)),
+                weight_decay=float(
+                    self._optimization_params.get("weight_decay", 0.0)))
+
+        self.state = create_train_state(params, self.optimizer, clf_params,
+                                        self.clf_optimizer)
+        self._train_step = make_train_step(
+            self.net_config, self.loss_weights, self.optimizer,
+            self.batch_size, swap=self.swap_features,
+            clf_optimizer=self.clf_optimizer)
+        self._eval_step = make_eval_step(
+            self.net_config, self.loss_weights, self.batch_size,
+            swap=self.swap_features)
+
+        self._latent_regions = latent_regions(
+            self._model_params["latent_size"], self.template.region_names)
+
+        self._class2idx_dict = None
+        self._class_weights = None
+        self._losses = None
+        self._epoch_key = jax.random.PRNGKey(seed + 1)
+        self._step_counter = 0
+
+        # lazily-built classifier zoo (analysis/classifiers.py)
+        self.classifiers = None
+        self._train_latents = None
+        self._train_labels = None
+
+    # ------------------------------------------------------------------
+    def enable_data_parallel(self, n_devices: int | None = None):
+        """Swap the train/eval steps for shard_map'd versions over a data
+        mesh; the host must then feed global batches of
+        n_devices × batch_size meshes."""
+        from .parallel import (make_data_mesh, make_parallel_eval_step,
+                               make_parallel_train_step)
+
+        mesh = make_data_mesh(n_devices)
+        self._train_step = make_parallel_train_step(
+            self.net_config, self.loss_weights, self.optimizer,
+            self.batch_size, mesh, swap=self.swap_features,
+            clf_optimizer=self.clf_optimizer)
+        self._eval_step = make_parallel_eval_step(
+            self.net_config, self.loss_weights, self.batch_size, mesh,
+            swap=self.swap_features, with_labels=self._mlp_end2end)
+        self.mesh = mesh
+        return mesh
+
+    # ------------------------------------------------------------------
+    # properties mirroring the reference surface
+    @property
+    def loss_keys(self):
+        return list(LOSS_KEYS)
+
+    @property
+    def latent_regions(self):
+        return self._latent_regions
+
+    @property
+    def is_vae(self):
+        return self.net_config.is_vae
+
+    @property
+    def model_latent_size(self):
+        return self._model_params["latent_size"]
+
+    @property
+    def batch_diagonal_idx(self):
+        bs = self.batch_size
+        return [(bs + 1) * i for i in range(bs)]
+
+    @property
+    def train_latents_and_labels(self):
+        return self._train_latents, self._train_labels
+
+    def _count_dataset_classes(self) -> int:
+        path = self._data_params.get("dataset_path")
+        try:
+            names = [n for n in os.listdir(path)
+                     if n.endswith((".obj", ".ply"))]
+            return max(len({n[0] for n in names}), 2)
+        except (TypeError, FileNotFoundError):
+            return 5  # a/c/m/n/b
+
+    # ------------------------------------------------------------------
+    # class maps
+    def set_class_conversions_and_weights(self, class_weight_dict: dict):
+        self._class2idx_dict, weights = class_conversions_and_weights(
+            class_weight_dict)
+        self._class_weights = jnp.asarray(weights)
+
+    def set_class_conversions(self, class2idx: dict):
+        self._class2idx_dict = dict(class2idx)
+
+    def class2idx(self, data_class):
+        if isinstance(data_class, (list, np.ndarray)):
+            return [self._class2idx_dict[d] for d in data_class]
+        return self._class2idx_dict[data_class]
+
+    def idx2class(self, idx):
+        inv = {v: k for k, v in self._class2idx_dict.items()}
+        if isinstance(idx, (list, np.ndarray)):
+            return [inv[int(i)] for i in idx]
+        return inv[int(idx)]
+
+    # ------------------------------------------------------------------
+    # core model calls
+    def encode(self, x) -> jnp.ndarray:
+        """[B, N, 3] or [N, 3] → latents [B, Z] (deterministic, mu)."""
+        x = jnp.asarray(x, jnp.float32)
+        single = x.ndim == 2
+        if single:
+            x = x[None]
+        mu, _ = encode(self.state.params, self.geometry, self.net_config,
+                       jnp.swapaxes(x, 0, 1))
+        return mu[0] if single else mu
+
+    def generate(self, z) -> jnp.ndarray:
+        """[B, Z] or [Z] → vertices [B, N, 3]."""
+        z = jnp.asarray(z, jnp.float32)
+        single = z.ndim == 1
+        if single:
+            z = z[None]
+        out = decode(self.state.params, self.geometry, self.net_config, z)
+        out = jnp.swapaxes(out, 0, 1)
+        return out[0] if single else out
+
+    def forward(self, x, key=None, training: bool = False):
+        x = jnp.swapaxes(jnp.asarray(x, jnp.float32), 0, 1)
+        out, z, mu, logvar = forward(self.state.params, self.geometry,
+                                     self.net_config, x, key, training)
+        return jnp.swapaxes(out, 0, 1), z, mu, logvar
+
+    def compute_vertex_errors(self, out_verts, gt_verts):
+        """Per-vertex Euclidean error in mm (reference mm.py:395-400)."""
+        err = jnp.sqrt(jnp.sum((out_verts - gt_verts) ** 2, axis=-1))
+        return err * self.to_mm_const
+
+    # ------------------------------------------------------------------
+    # epochs
+    def run_epoch(self, batch_iter, train: bool = True) -> dict:
+        """One pass over the loader; losses averaged over iterations
+        (reference mm.py:257-272).
+
+        Metrics stay on device and accumulate asynchronously — a single
+        host sync per epoch, not 7 blocking transfers per step (device↔host
+        round-trips dominate wall time on tunneled TPUs)."""
+        totals = None
+        count = 0
+        for batch in batch_iter:
+            self._step_counter += 1
+            key = jax.random.fold_in(self._epoch_key, self._step_counter)
+            x = jnp.asarray(batch["x"])
+            labels = None
+            if self._mlp_end2end and "labels" in batch:
+                labels = jnp.asarray(batch["labels"])
+            if train:
+                self.state, metrics = self._train_step(
+                    self.state, self.geometry, x, labels,
+                    self._class_weights, key)
+            else:
+                metrics = self._eval_step(
+                    self.state, self.geometry, x, labels,
+                    self._class_weights, key)
+            totals = metrics if totals is None else \
+                jax.tree.map(jnp.add, totals, metrics)
+            count += 1
+        if totals is None:
+            self._losses = {k: 0.0 for k in LOSS_KEYS}
+        else:
+            totals = jax.device_get(totals)   # one sync
+            self._losses = {k: float(totals[k]) / count for k in LOSS_KEYS}
+        return self._losses
+
+    def log_losses(self, writer, epoch: int, phase: str = "train"):
+        for k, v in (self._losses or {}).items():
+            writer.add_scalar(f"{phase}/{k}", v, epoch + 1)
+
+    # ------------------------------------------------------------------
+    # latents for analysis
+    def encode_all(self, batch_iter, is_train_loader: bool = True):
+        """Encode every (diagonal) mesh in a loader → (latents [M, Z],
+        labels dict) (reference mm.py:402-426; the on-device pipeline never
+        builds the swap grid here, so no diagonal slicing is needed)."""
+        zs, labels = [], {"y": [], "age": [], "gender": [], "augmented": []}
+        for batch in batch_iter:
+            zs.append(np.asarray(self.encode(batch["x"])))
+            labels["y"].extend(batch["y"])
+            labels["age"].extend(np.asarray(batch["age"]).tolist())
+            labels["gender"].extend(batch["gender"])
+            labels["augmented"].extend(
+                np.asarray(batch["augmented"]).tolist())
+        latents = np.concatenate(zs, axis=0) if zs else np.zeros((0, 1))
+        if is_train_loader:
+            self._train_latents = latents
+            self._train_labels = labels
+        return latents, labels
+
+    # ------------------------------------------------------------------
+    # classifier zoo (delegates to analysis.classifiers)
+    def build_classifiers(self):
+        from .analysis.classifiers import LatentClassifiers
+
+        per_region = self.loss_weights.latent_consistency > 0
+        self.classifiers = LatentClassifiers(
+            latent_size=self.model_latent_size,
+            latent_regions=self._latent_regions if per_region else None,
+            mlp_hidden=(self._classifier_params or {}).get(
+                "mlp_hidden_features", [512, 128, 64]),
+            mlp_lr=float((self._classifier_params or {}).get(
+                "mlp_lr", 1e-4)),
+            mlp_epochs=int((self._classifier_params or {}).get(
+                "mlp_epochs", 50)),
+        )
+        return self.classifiers
+
+    def train_and_validate_classifiers(self, train_iter, val_iter,
+                                       writer=None, checkpoint_dir=None):
+        """Fit MLP/SVM/LDA/QDA (+ per-region LDA/QDA) on train latents
+        (reference mm.py:448-504)."""
+        if self._train_latents is None:
+            self.encode_all(train_iter, is_train_loader=True)
+        val_z, val_labels = self.encode_all(val_iter, is_train_loader=False)
+        if self.classifiers is None:
+            self.build_classifiers()
+
+        y = np.asarray(self.class2idx(self._train_labels["y"]))
+        y_val = np.asarray(self.class2idx(val_labels["y"]))
+        accs = self.classifiers.fit_all(
+            self._train_latents, y, val_z, y_val,
+            class_weights=np.asarray(self._class_weights)
+            if self._class_weights is not None else None,
+            mlp_init=self.state.clf_params if self._mlp_end2end else None,
+            writer=writer)
+        if checkpoint_dir:
+            self.classifiers.save(checkpoint_dir)
+        return accs
+
+    def classify_latent(self, z, model: str = "main"):
+        if model == "main":
+            model = (self._classifier_params or {}).get(
+                "main_model_type", "qda")
+        pred = self.classifiers.predict(np.asarray(z), model)
+        return self.idx2class(pred)
+
+    def mahalanobis_dist_to_qda_distribution(self, z, distribution_class="n",
+                                             region="all"):
+        idx = self.class2idx(distribution_class)
+        return self.classifiers.mahalanobis(np.asarray(z), idx, region)
+
+    def qda_sample(self, sample_class="a", n_samples=1, seed=0):
+        if isinstance(sample_class, str):
+            sample_class = self.class2idx(sample_class)
+        return self.classifiers.qda_sample(sample_class, n_samples, seed)
+
+    def lda_project_latents_in_2d(self, latents):
+        return self.classifiers.lda_transform(np.asarray(latents))
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    def save_weights(self, checkpoint_dir: str, epoch: int):
+        save_checkpoint(checkpoint_dir, self.state, epoch + 1)
+        if self.classifiers is not None:
+            self.classifiers.save(checkpoint_dir)
+
+    def resume(self, checkpoint_dir: str) -> int:
+        self.state, epoch = resume_checkpoint(checkpoint_dir, self.state)
+        try:
+            if self.classifiers is None:
+                self.build_classifiers()
+            self.classifiers.load(checkpoint_dir)
+        except FileNotFoundError:
+            print("Classifiers not trained yet; skipping classifier resume")
+        return epoch

@@ -1,2 +1,2 @@
 from .mesh import make_data_mesh, shard_batch, replicate, DATA_AXIS
-from .train_parallel import make_parallel_train_step
+from .train_parallel import make_parallel_train_step, make_parallel_eval_step

@@ -24,7 +24,7 @@ from ..models.sdvae import SDVAEConfig
 from ..training.trainer import LossWeights, make_train_step
 from .mesh import DATA_AXIS
 
-__all__ = ["make_parallel_train_step"]
+__all__ = ["make_parallel_train_step", "make_parallel_eval_step"]
 
 
 def make_parallel_train_step(config: SDVAEConfig, weights: LossWeights,
@@ -54,3 +54,28 @@ def make_parallel_train_step(config: SDVAEConfig, weights: LossWeights,
         check_rep=False,
     )
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_parallel_eval_step(config: SDVAEConfig, weights: LossWeights,
+                            batch_size: int, mesh: Mesh, swap: bool = True,
+                            with_labels: bool = False):
+    """Sharded validation step: per-device losses pmean'd, no update."""
+    from ..training.trainer import make_eval_step
+
+    inner = make_eval_step(config, weights, batch_size, swap=swap)
+
+    def device_step(state, geom, x, labels, class_weights, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        metrics = inner(state, geom, x, labels, class_weights, key)
+        return jax.lax.pmean(metrics, DATA_AXIS)
+
+    rep = P()
+    sharded = P(DATA_AXIS)
+    step = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(rep, rep, sharded,
+                  sharded if with_labels else rep, rep, rep),
+        out_specs=rep,
+        check_rep=False,
+    )
+    return jax.jit(step)

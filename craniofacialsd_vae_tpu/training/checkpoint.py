@@ -1,0 +1,76 @@
+"""Checkpoint / resume (reference model_manager.py:682-776 analog).
+
+Format: msgpack-serialized pytrees (flax.serialization) — no pickle, no
+framework lock-in. Cadence and layout mirror the reference: one
+`model_%08d.ckpt` per save epoch (params only) plus a single rolling
+`optimizer.ckpt` (opt state + epoch); resume picks the lexicographically
+last model file and parses the epoch from the filename.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+from flax import serialization
+
+__all__ = ["save_checkpoint", "latest_checkpoint", "resume_checkpoint"]
+
+_MODEL_RE = re.compile(r"model_(\d{8})\.ckpt$")
+
+
+def save_checkpoint(checkpoint_dir: str, state, epoch: int) -> str:
+    """Write model_%08d.ckpt + optimizer.ckpt. `epoch` is 1-based like the
+    reference (save at epoch+1)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    model_path = os.path.join(checkpoint_dir, f"model_{epoch:08d}.ckpt")
+    with open(model_path, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": state.params, "clf_params": state.clf_params}))
+    opt_path = os.path.join(checkpoint_dir, "optimizer.ckpt")
+    with open(opt_path, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"opt_state": state.opt_state,
+             "clf_opt_state": state.clf_opt_state,
+             "epoch": epoch}))
+    return model_path
+
+
+def latest_checkpoint(checkpoint_dir: str) -> str | None:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    models = sorted(f for f in os.listdir(checkpoint_dir)
+                    if _MODEL_RE.search(f))
+    return os.path.join(checkpoint_dir, models[-1]) if models else None
+
+
+def resume_checkpoint(checkpoint_dir: str, state):
+    """Restore the latest checkpoint into `state` (a template with the right
+    pytree structure). Returns (state, epoch). Epoch 0 when nothing saved."""
+    model_path = latest_checkpoint(checkpoint_dir)
+    if model_path is None:
+        return state, 0
+    with open(model_path, "rb") as f:
+        model = serialization.from_bytes(
+            {"params": state.params, "clf_params": state.clf_params},
+            f.read())
+    epoch = int(_MODEL_RE.search(model_path).group(1))
+    opt_path = os.path.join(checkpoint_dir, "optimizer.ckpt")
+    opt_state, clf_opt_state = state.opt_state, state.clf_opt_state
+    if os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt = serialization.from_bytes(
+                {"opt_state": state.opt_state,
+                 "clf_opt_state": state.clf_opt_state,
+                 "epoch": epoch}, f.read())
+        opt_state = opt["opt_state"]
+        clf_opt_state = opt["clf_opt_state"]
+
+    from .trainer import TrainState
+
+    new_state = TrainState(params=model["params"], opt_state=opt_state,
+                           clf_params=model["clf_params"],
+                           clf_opt_state=clf_opt_state, epoch=epoch)
+    print(f"Resume from epoch {epoch}")
+    return new_state, epoch

@@ -1,0 +1,166 @@
+"""Classifier zoo tests: closed-form LDA/QDA vs sklearn, hinge SVM quality,
+reference-pickle import parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import DEMO_FILES, requires_demo
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(3)
+    means = np.array([[0, 0, 0, 0], [4, 0, 0, 0], [0, 4, 0, 2],
+                      [2, 2, 4, 0]], dtype=np.float64)
+    xs, ys = [], []
+    for c, m in enumerate(means):
+        cov = np.eye(4) + 0.3 * rng.random((4, 4))
+        cov = cov @ cov.T
+        xs.append(rng.multivariate_normal(m, cov, size=60))
+        ys.append(np.full(60, c))
+    x = np.concatenate(xs).astype(np.float64)
+    y = np.concatenate(ys)
+    order = rng.permutation(len(y))
+    return x[order], y[order]
+
+
+class TestQDA:
+    def test_matches_sklearn_predictions(self, blobs):
+        from sklearn.discriminant_analysis import \
+            QuadraticDiscriminantAnalysis
+        from craniofacialsd_vae_tpu.analysis import QDAClassifier
+
+        x, y = blobs
+        mine = QDAClassifier().fit(x, y)
+        skl = QuadraticDiscriminantAnalysis(store_covariance=True).fit(x, y)
+        assert np.mean(mine.predict(x) == skl.predict(x)) > 0.995
+        np.testing.assert_allclose(mine.means, skl.means_, rtol=1e-8)
+        np.testing.assert_allclose(mine.covs,
+                                   np.stack(skl.covariance_), rtol=1e-6)
+
+    def test_mahalanobis(self, blobs):
+        from scipy.spatial.distance import mahalanobis as scipy_maha
+        from craniofacialsd_vae_tpu.analysis import QDAClassifier
+
+        x, y = blobs
+        qda = QDAClassifier().fit(x, y)
+        z = x[0]
+        ref = scipy_maha(z, qda.means[1], np.linalg.inv(qda.covs[1]))
+        assert abs(qda.mahalanobis(z, 1) - ref) < 1e-8
+
+    def test_sampling_statistics(self, blobs):
+        from craniofacialsd_vae_tpu.analysis import QDAClassifier
+
+        x, y = blobs
+        qda = QDAClassifier().fit(x, y)
+        s = qda.sample(2, 5000, seed=0)
+        np.testing.assert_allclose(s.mean(axis=0), qda.means[2], atol=0.15)
+
+
+class TestLDA:
+    def test_matches_sklearn_predictions(self, blobs):
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+        from craniofacialsd_vae_tpu.analysis import LDAClassifier
+
+        x, y = blobs
+        mine = LDAClassifier().fit(x, y)
+        skl = LinearDiscriminantAnalysis(n_components=2).fit(x, y)
+        assert np.mean(mine.predict(x) == skl.predict(x)) > 0.99
+
+    def test_transform_separates_classes(self, blobs):
+        from craniofacialsd_vae_tpu.analysis import LDAClassifier
+
+        x, y = blobs
+        lda = LDAClassifier().fit(x, y)
+        emb = lda.transform(x)
+        assert emb.shape == (len(x), 2)
+        # between-class variance should dominate within-class in LD1
+        centers = np.stack([emb[y == c].mean(axis=0) for c in range(4)])
+        within = np.mean([emb[y == c].std(axis=0) for c in range(4)])
+        assert centers.std(axis=0)[0] > within
+
+
+class TestSVM:
+    def test_accuracy_close_to_sklearn(self, blobs):
+        from sklearn.svm import LinearSVC
+        from craniofacialsd_vae_tpu.analysis import LinearSVM
+
+        x, y = blobs
+        mine = LinearSVM().fit(x, y)
+        skl = LinearSVC(class_weight="balanced").fit(x, y)
+        acc_mine = mine.score(x, y)
+        acc_skl = float(np.mean(skl.predict(x) == y))
+        assert acc_mine > acc_skl - 0.05
+
+
+class TestMLP:
+    def test_learns_blobs(self, blobs):
+        from craniofacialsd_vae_tpu.analysis import MLPTrainer
+
+        x, y = blobs
+        # NB: the trailing ReLU on the logits (reference quirk,
+        # model.py:197) caps this head's expressiveness; full-batch
+        # training needs more epochs than a standard MLP would.
+        mlp = MLPTrainer(latent_size=4, hidden=[32], n_classes=4,
+                         lr=1e-2, epochs=1000)
+        mlp.fit(x, y)
+        # the logit clamp makes ~0.75 the ceiling on these 4 overlapping
+        # blobs; chance is 0.25
+        assert mlp.score(x, y) > 0.6
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, blobs, tmp_path):
+        from craniofacialsd_vae_tpu.analysis import LatentClassifiers
+
+        x, y = blobs
+        zoo = LatentClassifiers(latent_size=4,
+                                latent_regions={"r0": (0, 2), "r1": (2, 4)},
+                                mlp_hidden=[16], mlp_epochs=5)
+        zoo.fit_all(x, y, x, y)
+        zoo.save(str(tmp_path))
+        zoo2 = LatentClassifiers(latent_size=4,
+                                 latent_regions={"r0": (0, 2),
+                                                 "r1": (2, 4)})
+        zoo2.load(str(tmp_path))
+        np.testing.assert_array_equal(zoo.predict(x, "qda"),
+                                      zoo2.predict(x, "qda"))
+        np.testing.assert_array_equal(zoo.predict(x, "lda"),
+                                      zoo2.predict(x, "lda"))
+        np.testing.assert_array_equal(zoo.predict(x, "svm"),
+                                      zoo2.predict(x, "svm"))
+        assert set(zoo2.region_qdas.keys()) == {"r0", "r1"}
+
+
+@requires_demo
+class TestReferencePickleImport:
+    def test_qda_import_predicts_like_sklearn(self):
+        import pickle
+        from craniofacialsd_vae_tpu.analysis import LatentClassifiers
+
+        zoo = LatentClassifiers(latent_size=75)
+        zoo.load_reference_pickles(
+            os.path.join(DEMO_FILES, "checkpoints"))
+        assert zoo.qda is not None and zoo.lda is not None
+
+        with open(os.path.join(DEMO_FILES, "checkpoints",
+                               "qda_classifier.pkl"), "rb") as f:
+            skl_qda = pickle.load(f)
+        rng = np.random.default_rng(0)
+        z = rng.normal(size=(40, 75)) * 2
+        np.testing.assert_array_equal(zoo.predict(z, "qda"),
+                                      skl_qda.predict(z))
+
+    def test_region_lda_import(self):
+        from craniofacialsd_vae_tpu.analysis import LatentClassifiers
+
+        zoo = LatentClassifiers(latent_size=75)
+        zoo.load_reference_pickles(DEMO_FILES)  # region_ldas.pkl lives here
+        assert len(zoo.region_ldas) == 15
+        rng = np.random.default_rng(1)
+        z5 = rng.normal(size=(4, 5))
+        key = list(zoo.region_ldas.keys())[0]
+        emb = zoo.region_ldas[key].transform_sklearn_style(z5)
+        assert emb.shape == (4, 2)

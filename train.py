@@ -1,0 +1,114 @@
+"""Training entry point (reference train.py analog).
+
+    python train.py --config=configurations/craniofacial.yaml --id=my_run \
+        [--output_path=.] [--resume]
+
+Builds outputs/<id>/{checkpoints,logs}, snapshots the config, trains the
+SD-VAE with the jitted TPU train step (single chip) or the sharded
+data-parallel step (--data_parallel over all visible devices), logs losses
+to TensorBoard, checkpoints on the reference cadence, then fits the latent
+classifier zoo and caches latent stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str,
+                        default="configurations/craniofacial.yaml")
+    parser.add_argument("--id", type=str, default="none",
+                        help="experiment id (default: config basename)")
+    parser.add_argument("--output_path", type=str, default=".")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the batch over all visible devices")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override optimization.epochs")
+    args = parser.parse_args()
+
+    from craniofacialsd_vae_tpu.utils import (get_config, prepare_sub_folder,
+                                              save_config_snapshot)
+
+    config = get_config(args.config)
+    if args.epochs is not None:
+        config["optimization"]["epochs"] = args.epochs
+
+    model_name = args.id if args.id != "none" else \
+        os.path.splitext(os.path.basename(args.config))[0]
+    output_dir = os.path.join(args.output_path, "outputs", model_name)
+    checkpoint_dir = prepare_sub_folder(output_dir)
+    save_config_snapshot(args.config, output_dir)
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(os.path.join(output_dir, "logs"))
+    except ImportError:
+        from craniofacialsd_vae_tpu.viz.logging import JsonlWriter
+        writer = JsonlWriter(os.path.join(output_dir, "logs"))
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    jax = setup_jax()
+
+    print(f"devices: {jax.devices()}")
+
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    manager = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+
+    train_set, val_set, test_set, normalization, class_weights = \
+        build_datasets(config, manager.template)
+    manager.set_class_conversions_and_weights(class_weights)
+
+    batch_size = config["optimization"]["batch_size"]
+    if args.data_parallel:
+        manager.enable_data_parallel()
+        batch_size *= jax.device_count()
+    train_iter = BatchIterator(train_set, batch_size, shuffle=True,
+                               class2idx=manager._class2idx_dict)
+    val_iter = BatchIterator(val_set, batch_size, shuffle=True,
+                             class2idx=manager._class2idx_dict)
+
+    start_epoch = manager.resume(checkpoint_dir) if args.resume else 0
+    epochs = config["optimization"]["epochs"]
+    log_freq = config["logging_frequency"]
+
+    print(f"training {model_name}: {len(train_set)} train / "
+          f"{len(val_set)} val meshes, epochs {start_epoch}→{epochs}")
+    t0 = time.time()
+    for epoch in range(start_epoch, epochs):
+        manager.run_epoch(train_iter, train=True)
+        manager.log_losses(writer, epoch, "train")
+        manager.run_epoch(val_iter, train=False)
+        manager.log_losses(writer, epoch, "validation")
+
+        if (epoch + 1) % log_freq["save_weights"] == 0:
+            manager.save_weights(checkpoint_dir, epoch)
+        if (epoch + 1) % max(epochs // 10, 1) == 0:
+            dt = time.time() - t0
+            print(f"epoch {epoch + 1}/{epochs} "
+                  f"tot={manager._losses['tot']:.4f} "
+                  f"({dt / (epoch - start_epoch + 1):.2f}s/epoch)")
+
+    manager.save_weights(checkpoint_dir, epochs - 1)
+    manager.train_and_validate_classifiers(
+        BatchIterator(train_set, batch_size, shuffle=False,
+                      class2idx=manager._class2idx_dict),
+        BatchIterator(val_set, batch_size, shuffle=False,
+                      class2idx=manager._class2idx_dict),
+        writer, checkpoint_dir)
+
+    from craniofacialsd_vae_tpu.analysis.tester import compute_latent_stats
+    compute_latent_stats(manager, output_dir)
+    print(f"done in {time.time() - t0:.1f}s → {output_dir}")
+
+
+if __name__ == "__main__":
+    main()
