@@ -67,6 +67,12 @@ class QDAClassifier:
     def predict(self, x: np.ndarray) -> np.ndarray:
         return self.classes[np.argmax(self.log_posteriors(x), axis=1)]
 
+    def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        lp = self.log_posteriors(x)
+        lp = lp - lp.max(axis=1, keepdims=True)
+        p = np.exp(lp)
+        return p / p.sum(axis=1, keepdims=True)
+
     def score(self, x, y) -> float:
         return float(np.mean(self.predict(x) == y))
 
@@ -412,12 +418,11 @@ class LatentClassifiers:
         if self.region_qdas:
             for i, (k, c) in enumerate(self.region_qdas.items()):
                 arrays.update(c.to_arrays(f"rqda{i}_"))
-        np.savez(os.path.join(checkpoint_dir, "classifiers.npz"), **arrays)
         if self.mlp is not None:
-            from flax import serialization
-            with open(os.path.join(checkpoint_dir, "mlp_classifier.ckpt"),
-                      "wb") as f:
-                f.write(serialization.to_bytes(self.mlp.params))
+            for i, layer in enumerate(self.mlp.params):
+                arrays[f"mlp{i}_w"] = np.asarray(layer["w"])
+                arrays[f"mlp{i}_b"] = np.asarray(layer["b"])
+        np.savez(os.path.join(checkpoint_dir, "classifiers.npz"), **arrays)
 
     def load(self, checkpoint_dir: str):
         path = os.path.join(checkpoint_dir, "classifiers.npz")
@@ -438,6 +443,18 @@ class LatentClassifiers:
             self.region_qdas = {
                 k: QDAClassifier.from_arrays(z, f"rqda{i}_")
                 for i, k in enumerate(keys)}
+        if "mlp0_w" in z:
+            import jax.numpy as jnp
+            layers = []
+            i = 0
+            while f"mlp{i}_w" in z:
+                layers.append({"w": jnp.asarray(z[f"mlp{i}_w"]),
+                               "b": jnp.asarray(z[f"mlp{i}_b"])})
+                i += 1
+            self.mlp = MLPTrainer.__new__(MLPTrainer)
+            self.mlp.params = layers
+            self.mlp.lr = self.mlp_lr
+            self.mlp.epochs = self.mlp_epochs
         return self
 
     # -- reference interop ----------------------------------------------

@@ -1,8 +1,21 @@
-"""Evaluation harness (reference test.py Tester analog) — quantitative
-metrics, latent statistics, traversals, embeddings, generation.
+"""Evaluation / analysis harness — the reference's 1,500-line Tester
+(test.py:35-1440) rebuilt on the TPU-native stack.
 
-Built incrementally; each function is standalone and json-artifact-oriented
-like the reference's outputs/<id>/ layout.
+Produces the same artifact families into outputs/<id>/:
+  * eval_metrics.json — reconstruction mm errors + diversity metrics
+  * accuracies.json / classification_report[_regions].json / confusion
+    matrix SVGs (global and per-region)
+  * latent traversal videos/images + per-region displacement plots
+  * LDA / t-SNE embedding scatter + KDE plots (figures pickled for later
+    overlay, exactly like the reference workflow)
+  * surgical planning interpolations (all-attributes + per-procedure) with
+    renders, embedding trajectories, PLY exports
+  * pre/post surgery assessment metrics + boxplots
+  * mesh fitting of unregistered scans (Procrustes + Adam over z with a
+    JAX chamfer distance)
+
+Heavy math (decode, render, chamfer) runs jitted on TPU; matplotlib/seaborn
+artifact generation stays on the host.
 """
 
 from __future__ import annotations
@@ -11,16 +24,37 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["compute_latent_stats", "reconstruction_errors",
+from ..geometry.mesh_io import read_mesh, write_ply
+from ..geometry.template import COLOUR2ATTRIBUTE, PROCEDURES2ATTRIBUTES
+from ..viz.renderer import make_image_grid
+
+__all__ = ["Tester", "compute_latent_stats", "reconstruction_errors",
            "compute_diversity", "random_generation"]
 
+# 20 hand-picked facial landmark vertex ids on the craniofacial template
+# (reference test.py:52-55) — a property of the template asset.
+TEMPLATE_LANDMARKS_IDX = [14336, 14250, 13087, 13145, 4134,
+                          871, 4166, 303, 15614, 7166,
+                          3904, 16465, 9246, 4643, 10122,
+                          4548, 2893, 2985, 830, 2004]
 
-def compute_latent_stats(manager, output_dir: str,
-                         train_iter=None, cache: bool = True) -> dict:
-    """Per-dimension mean/std/min/max over the train latents, cached as
-    z_stats.npz (reference test.py:95-117 caches z_stats.pkl)."""
+
+def vector_linspace(start, finish, steps: int) -> np.ndarray:
+    """Row-wise linspace between two vectors → [steps, D]
+    (reference test.py vector_linspace analog)."""
+    start = np.asarray(start).reshape(-1)
+    finish = np.asarray(finish).reshape(-1)
+    t = np.linspace(0.0, 1.0, steps)[:, None]
+    return (start[None] + t * (finish - start)[None]).astype(np.float32)
+
+
+def compute_latent_stats(manager, output_dir: str, train_iter=None,
+                         cache: bool = True) -> dict:
+    """Per-dim mean/std/min/max over train latents, cached z_stats.npz
+    (reference test.py:95-117)."""
     path = os.path.join(output_dir, "z_stats.npz")
     if cache and os.path.exists(path):
         z = np.load(path)
@@ -30,12 +64,10 @@ def compute_latent_stats(manager, output_dir: str,
         if train_iter is None:
             raise ValueError("no cached train latents; pass train_iter")
         latents, _ = manager.encode_all(train_iter, is_train_loader=True)
-    stats = {
-        "means": latents.mean(axis=0),
-        "stds": latents.std(axis=0),
-        "mins": latents.min(axis=0),
-        "maxs": latents.max(axis=0),
-    }
+    stats = {"means": latents.mean(axis=0),
+             "stds": latents.std(axis=0, ddof=1),
+             "mins": latents.min(axis=0),
+             "maxs": latents.max(axis=0)}
     if cache:
         os.makedirs(output_dir, exist_ok=True)
         np.savez(path, **stats)
@@ -43,46 +75,966 @@ def compute_latent_stats(manager, output_dir: str,
 
 
 def reconstruction_errors(manager, data_iter, normalization: dict) -> dict:
-    """Per-vertex Euclidean reconstruction error in mm over a split:
-    mean/median/max/std (reference test.py:280-301)."""
+    """Per-mesh mean vertex error in mm; stats over meshes
+    (reference test.py:280-301)."""
     mean = np.asarray(normalization["mean"])
     std = np.asarray(normalization["std"])
-    errors = []
+    per_mesh = []
     for batch in data_iter:
         x = batch["x"]
-        out, _, _, _ = manager.forward(x, training=False)
-        out = np.asarray(out)
+        out = np.asarray(manager.forward(x, training=False)[0])
         gt = x * std + mean
         pred = out * std + mean
-        err = np.asarray(
-            manager.compute_vertex_errors(pred, gt))      # [B, N] in mm
-        errors.append(err)
-    err = np.concatenate(errors, axis=0)
-    return {
-        "mean": float(err.mean()),
-        "median": float(np.median(err)),
-        "max": float(err.max()),
-        "std": float(err.std()),
-    }
+        err = np.asarray(manager.compute_vertex_errors(pred, gt))
+        per_mesh.append(err.mean(axis=1))
+    e = np.concatenate(per_mesh)
+    return {"mean": float(e.mean()), "median": float(np.median(e)),
+            "max": float(e.max()), "std": float(e.std(ddof=1))}
 
 
-def compute_diversity(meshes: np.ndarray) -> float:
-    """Mean pairwise vertex distance within a set of meshes — the
-    train-set / generative diversity metric (reference test.py:303-334
-    computes mean inter-batch distances)."""
-    m = meshes.reshape(len(meshes), -1, 3)
-    half = len(m) // 2
-    if half == 0:
-        return 0.0
-    a, b = m[:half], m[half:2 * half]
-    return float(np.mean(np.linalg.norm(a - b, axis=-1)))
+def compute_diversity(meshes_a: np.ndarray, meshes_b: np.ndarray,
+                      to_mm: float = 1.0) -> float:
+    """Mean per-vertex distance between two matched mesh sets."""
+    d = np.linalg.norm(meshes_a - meshes_b, axis=-1) * to_mm
+    return float(d.mean())
 
 
-def random_generation(manager, z_stats: dict, n_samples: int = 16,
-                      seed: int = 0, scale: float = 1.0) -> np.ndarray:
-    """Decode latents drawn from the train-latent Gaussian envelope
-    (reference test.py:231-266)."""
+def random_generation(manager, z_stats, n_samples=16, seed=0,
+                      z_range_multiplier=1.0):
     rng = np.random.default_rng(seed)
-    z = rng.normal(z_stats["means"], z_stats["stds"] * scale,
-                   size=(n_samples, len(z_stats["means"])))
+    if manager.is_vae:
+        z = rng.standard_normal((n_samples, manager.model_latent_size))
+    else:
+        lo = z_stats["mins"] * z_range_multiplier
+        hi = z_stats["maxs"] * z_range_multiplier
+        z = rng.uniform(size=(n_samples, len(lo))) * (hi - lo) + lo
     return np.asarray(manager.generate(z.astype(np.float32)))
+
+
+class Tester:
+    """Standard evaluation suite runner (reference test.py:57-79)."""
+
+    def __init__(self, manager, norm_dict, train_iter, test_iter,
+                 out_dir: str, config: dict):
+        self._manager = manager
+        self._norm = {k: np.asarray(v) for k, v in norm_dict.items()}
+        self._normalized = config["data"].get("normalize_data", True)
+        self._out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._config = config
+        self._train_iter = train_iter
+        self._test_iter = test_iter
+        self._is_vae = manager.is_vae
+        self.latent_stats = compute_latent_stats(manager, out_dir,
+                                                 train_iter)
+        self.template_landmarks_idx = list(TEMPLATE_LANDMARKS_IDX)
+        self._image_size = 256
+
+    # ------------------------------------------------------------------
+    def __call__(self):
+        self.latent_traversals(use_z_stats=False)
+        self.plot_embeddings()
+        self.random_generation_and_rendering(n_samples=16)
+        self.random_generation_and_save(n_samples=16)
+        self.test_classifiers()
+        metrics = {
+            "recon_errors": reconstruction_errors(
+                self._manager, self._test_iter, self._norm),
+            "train_set_diversity": self.compute_diversity_train_set(),
+            "diversity": self.compute_diversity(),
+        }
+        with open(os.path.join(self._out_dir, "eval_metrics.json"),
+                  "w") as f:
+            json.dump(metrics, f)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _unnormalize(self, verts: np.ndarray) -> np.ndarray:
+        if not self._normalized:
+            return verts
+        return verts * self._norm["std"] + self._norm["mean"]
+
+    def _normalize(self, verts: np.ndarray) -> np.ndarray:
+        if not self._normalized:
+            return verts
+        return (verts - self._norm["mean"]) / self._norm["std"]
+
+    def set_renderings_size(self, size: int):
+        self._image_size = size
+
+    def _render(self, verts, errors=None, error_max_scale=None):
+        return self._manager.render(verts, errors, error_max_scale,
+                                    image_size=self._image_size)
+
+    def save_batch(self, batch_verts, out_dir, v_colours=None):
+        os.makedirs(out_dir, exist_ok=True)
+        for i, v in enumerate(np.asarray(batch_verts)):
+            vc = None if v_colours is None else np.asarray(v_colours[i])
+            write_ply(os.path.join(out_dir, f"{i}.ply"), v,
+                      self._manager.template.face, vc)
+
+    @staticmethod
+    def _write_video(path, frames, fps=4):
+        """[T, H, W, 3] float frames → mp4, falling back to GIF then to a
+        PNG strip when no ffmpeg backend is installed."""
+        import imageio.v2 as imageio
+
+        frames8 = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        try:
+            imageio.mimwrite(path, frames8, fps=fps)
+            return
+        except Exception:
+            pass
+        try:
+            gif = path.rsplit(".", 1)[0] + ".gif"
+            imageio.mimwrite(gif, frames8, duration=1000.0 / fps, loop=0)
+            return
+        except Exception as e:
+            alt = path.rsplit(".", 1)[0] + "_strip.png"
+            imageio.imwrite(alt, np.concatenate(list(frames8), axis=1))
+            print(f"[tester] video backends unavailable ({e}); wrote {alt}")
+
+    @staticmethod
+    def _save_image(path, image):
+        import imageio.v2 as imageio
+        imageio.imwrite(path, (np.clip(image, 0, 1) * 255).astype(np.uint8))
+
+    @staticmethod
+    def string_to_color(rgba_string, swap_bw=True):
+        vals = [int(c) / 255 for c in rgba_string[1:-1].split()[:-1]]
+        if vals == [1.0, 1.0, 1.0] and swap_bw:
+            vals = [0.0, 0.0, 0.0]
+        return tuple(vals)
+
+    # ------------------------------------------------------------------
+    # latent traversals (reference test.py:128-229)
+    def latent_traversals(self, z_range_multiplier=1.0, use_z_stats=True,
+                          save_suffix=None, n_steps=10,
+                          render_videos=True):
+        latent_size = self._manager.model_latent_size
+        if self._is_vae and not use_z_stats:
+            z_means = np.zeros(latent_size, np.float32)
+            z_mins = -3 * z_range_multiplier * np.ones(latent_size)
+            z_maxs = 3 * z_range_multiplier * np.ones(latent_size)
+        else:
+            z_means = np.asarray(self.latent_stats["means"])
+            z_mins = np.asarray(self.latent_stats["mins"]) \
+                * z_range_multiplier
+            z_maxs = np.asarray(self.latent_stats["maxs"]) \
+                * z_range_multiplier
+
+        s = save_suffix if save_suffix is not None else ""
+        all_frames, all_diff_renders, max_distances = [], [], []
+        for i in range(latent_size):
+            z = np.tile(z_means, (n_steps, 1)).astype(np.float32)
+            z[:, i] = np.linspace(z_mins[i], z_maxs[i], n_steps)
+            gen = np.asarray(self._manager.generate(z))
+            gen = self._unnormalize(gen)
+            diffs = np.asarray(self._manager.compute_vertex_errors(
+                gen, np.broadcast_to(gen[0], gen.shape)))
+            max_distances.append(diffs[-1])
+            if render_videos:
+                renders = self._render(gen)
+                diff_renders = self._render(gen, diffs, 5)
+                all_diff_renders.append(diff_renders)
+                frames = np.concatenate([renders, diff_renders], axis=2)
+                black = np.zeros_like(frames[:2])
+                all_frames.append(np.concatenate([frames, black]))
+
+        if render_videos:
+            self._write_video(
+                os.path.join(self._out_dir, f"latent_exploration{s}.mp4"),
+                np.concatenate(all_frames), fps=4)
+            # tiled grid video over traversal steps
+            n_regions = max(len(self._manager.latent_regions), 1)
+            nrow = latent_size // n_regions \
+                if self._config["data"].get("swap_features") else 8
+            stacked = np.stack(all_diff_renders)       # [Z, steps, H, W, 3]
+            grid_frames = [make_image_grid(stacked[:, t], nrow=nrow)
+                           for t in range(stacked.shape[1])]
+            self._save_image(
+                os.path.join(self._out_dir,
+                             f"latent_exploration_tiled{s}.png"),
+                grid_frames[-1])
+            self._write_video(
+                os.path.join(self._out_dir,
+                             f"latent_exploration_tiled{s}.mp4"),
+                np.stack(grid_frames), fps=1)
+
+        # per-region displacement line plots
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import pandas as pd
+            import seaborn as sns
+
+            rows = []
+            for zi, dist in enumerate(max_distances):
+                for region, idxs in \
+                        self._manager.template.feat_and_cont.items():
+                    rows.append({
+                        "mean_dist": float(
+                            dist[np.asarray(idxs["feature"])].mean()),
+                        "z_var": zi,
+                        "region": region})
+            df = pd.DataFrame(rows)
+            palette = {k: self.string_to_color(k)
+                       for k in self._manager.template.feat_and_cont}
+            sns.set_theme(style="ticks")
+            grid = sns.FacetGrid(df, col="region", hue="region",
+                                 palette=palette, col_wrap=4, height=3)
+            grid.map(plt.plot, "z_var", "mean_dist", marker="o")
+            plt.savefig(os.path.join(
+                self._out_dir, f"latent_exploration_split{s}.svg"))
+            plt.close("all")
+            sns.relplot(data=df, kind="line", x="z_var", y="mean_dist",
+                        hue="region", palette=palette)
+            plt.savefig(os.path.join(self._out_dir,
+                                     f"latent_exploration{s}.svg"))
+            plt.close("all")
+        except Exception as e:
+            print(f"[tester] traversal plots skipped: {e}")
+        return max_distances
+
+    # ------------------------------------------------------------------
+    # generation (reference test.py:231-266)
+    def random_latent(self, n_samples, z_range_multiplier=1.0, seed=0):
+        rng = np.random.default_rng(seed)
+        if self._is_vae:
+            return rng.standard_normal(
+                (n_samples, self._manager.model_latent_size)) \
+                .astype(np.float32)
+        lo = np.asarray(self.latent_stats["mins"]) * z_range_multiplier
+        hi = np.asarray(self.latent_stats["maxs"]) * z_range_multiplier
+        u = rng.uniform(size=(n_samples, len(lo)))
+        return (u * (hi - lo) + lo).astype(np.float32)
+
+    def random_generation(self, n_samples=16, z_range_multiplier=1.0,
+                          denormalize=True, seed=0):
+        z = self.random_latent(n_samples, z_range_multiplier, seed)
+        gen = np.asarray(self._manager.generate(z))
+        return self._unnormalize(gen) if denormalize else gen
+
+    def random_generation_and_rendering(self, n_samples=16,
+                                        z_range_multiplier=1.0):
+        gen = self.random_generation(n_samples, z_range_multiplier)
+        grid = make_image_grid(self._render(gen), nrow=4)
+        self._save_image(os.path.join(self._out_dir,
+                                      "random_generation.png"), grid)
+
+    def random_generation_and_save(self, n_samples=16,
+                                   z_range_multiplier=1.0):
+        gen = self.random_generation(n_samples, z_range_multiplier)
+        self.save_batch(gen, os.path.join(self._out_dir, "random_meshes"))
+
+    # ------------------------------------------------------------------
+    # quantitative (reference test.py:280-334)
+    def reconstruction_errors(self, data_iter=None):
+        return reconstruction_errors(
+            self._manager, data_iter or self._test_iter, self._norm)
+
+    def compute_diversity_train_set(self) -> float:
+        prev = None
+        dists = []
+        for batch in self._train_iter:
+            cur = self._unnormalize(batch["x"])
+            if prev is not None:
+                n = min(len(prev), len(cur))
+                d = np.asarray(self._manager.compute_vertex_errors(
+                    prev[:n], cur[:n]))
+                dists.append(d.mean(axis=1))
+            prev = cur
+        return float(np.concatenate(dists).mean()) if dists else 0.0
+
+    def compute_diversity(self, n_samples=10000, batch=20) -> float:
+        dists = []
+        for i in range(n_samples // (2 * batch)):
+            a = self.random_generation(batch, seed=2 * i)
+            b = self.random_generation(batch, seed=2 * i + 1)
+            d = np.asarray(self._manager.compute_vertex_errors(a, b))
+            dists.append(d.mean(axis=1))
+        return float(np.concatenate(dists).mean()) if dists else 0.0
+
+    # ------------------------------------------------------------------
+    # embeddings (reference test.py:1160-1321)
+    def plot_embeddings(self, embedding_mode="lda"):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import pandas as pd
+        import pickle
+        import seaborn as sns
+
+        mgr = self._manager
+        tr_z, tr_l = mgr.train_latents_and_labels
+        if tr_z is None:
+            tr_z, tr_l = mgr.encode_all(self._train_iter, True)
+        ts_z, ts_l = mgr.encode_all(self._test_iter, False)
+        tr_y = np.asarray(mgr.class2idx(tr_l["y"]))
+        ts_y = np.asarray(mgr.class2idx(ts_l["y"]))
+
+        if embedding_mode == "lda":
+            emb = np.concatenate([mgr.lda_project_latents_in_2d(tr_z),
+                                  mgr.lda_project_latents_in_2d(ts_z)])
+        elif embedding_mode == "tsne":
+            from sklearn.manifold import TSNE
+            emb = TSNE(n_components=2, init="random").fit_transform(
+                np.concatenate([tr_z, ts_z]))
+        else:
+            raise NotImplementedError(embedding_mode)
+
+        df = pd.DataFrame({
+            "x1": emb[:, 0], "x2": emb[:, 1],
+            "class": mgr.idx2class(np.concatenate([tr_y, ts_y])),
+            "type": ["train"] * len(tr_y) + ["test"] * len(ts_y),
+            "aug": np.concatenate([np.asarray(tr_l["augmented"]),
+                                   np.asarray(ts_l["augmented"])]),
+            "gender": tr_l["gender"] + ts_l["gender"],
+            "age": np.concatenate([np.asarray(tr_l["age"]),
+                                   np.asarray(ts_l["age"])]),
+        })
+
+        colours = ["#ed6e5d", "#74bfc2", "#eecd4a", "#124d81"]
+        hue_order = [c for c in ["n", "a", "c", "m"]
+                     if c in set(df["class"])]
+        palette = dict(zip(["n", "a", "c", "m"], colours))
+        sns.set_theme(style="ticks")
+
+        plt.figure()
+        sns.scatterplot(data=df, x="x1", y="x2", hue="class", style="type",
+                        hue_order=hue_order, palette=palette)
+        plt.savefig(os.path.join(
+            self._out_dir, f"{embedding_mode}_emb_train_vs_test.svg"))
+        plt.close()
+
+        plt.figure()
+        sns.scatterplot(data=df[df["type"] == "train"], x="x1", y="x2",
+                        hue="class", style="aug", hue_order=hue_order,
+                        palette=palette)
+        plt.savefig(os.path.join(
+            self._out_dir, f"{embedding_mode}_emb_real_vs_aug.svg"))
+        plt.close()
+
+        # KDE distribution figure, pickled for later overlays
+        fig_handle = plt.figure()
+        real_train = df[(df["type"] == "train") & (~df["aug"])]
+        for c in hue_order:
+            sub = real_train[real_train["class"] == c]
+            if len(sub) >= 5:
+                try:
+                    sns.kdeplot(data=sub, x="x1", y="x2", fill=True,
+                                levels=5, alpha=0.5, color=palette[c])
+                except Exception:
+                    pass
+            plt.scatter(sub["x1"], sub["x2"], s=6, color=palette[c],
+                        label=c)
+        plt.legend()
+        fig_name = os.path.join(self._out_dir,
+                                f"{embedding_mode}_emb_distributions")
+        with open(fig_name + ".pkl", "wb") as f:
+            pickle.dump(fig_handle, f)
+        plt.savefig(fig_name + ".svg")
+        plt.close("all")
+
+        self.plot_embeddings_per_region(tr_z, tr_y, tr_l)
+
+    def plot_embeddings_per_region(self, tr_z, tr_y, tr_l):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import pandas as pd
+        import pickle
+        import seaborn as sns
+
+        mgr = self._manager
+        zoo = mgr.classifiers
+        if zoo is None or not zoo.region_ldas:
+            print("[tester] region LDAs unavailable; skipping region plots")
+            return
+        dfs = []
+        aug = np.asarray(tr_l["augmented"])
+        for key, (lo, hi) in mgr.latent_regions.items():
+            if hi - lo > 2:
+                emb = zoo.region_ldas[key].transform_sklearn_style(
+                    tr_z[:, lo:hi]) if hasattr(
+                        zoo.region_ldas[key], "_sklearn_transform") \
+                    else zoo.region_ldas[key].transform(tr_z[:, lo:hi])
+                x1, x2 = emb[:, 0], emb[:, 1]
+            else:
+                x1, x2 = tr_z[:, lo], tr_z[:, hi - 1]
+            dfs.append(pd.DataFrame({
+                "x1": x1, "x2": x2,
+                "class": mgr.idx2class(tr_y),
+                "aug": aug,
+                "region": [COLOUR2ATTRIBUTE.get(key, key)] * len(tr_y)}))
+        df = pd.concat(dfs)
+        df = df[~df["aug"]]
+
+        colours = ["#ed6e5d", "#74bfc2", "#eecd4a", "#124d81", "#dbcbbe"]
+        hue_order = [c for c in ["n", "a", "c", "m"]
+                     if c in set(df["class"])]
+        g = sns.FacetGrid(df, col="region", hue="class",
+                          palette=colours[:len(hue_order)],
+                          hue_order=hue_order, col_wrap=5, height=2)
+        g.map(sns.scatterplot, "x1", "x2", s=10)
+        g.set_titles(col_template="{col_name}")
+        g.add_legend()
+        plt.savefig(os.path.join(self._out_dir, "emb_all_train.svg"))
+
+        fig_name = os.path.join(self._out_dir, "emb_all_train_dist")
+        with open(fig_name + ".pkl", "wb") as f:
+            pickle.dump(g, f)
+        plt.savefig(fig_name + ".svg")
+        plt.close("all")
+
+    # ------------------------------------------------------------------
+    # classifier evaluation (reference test.py:1323-1440)
+    def test_classifiers(self):
+        from sklearn.metrics import classification_report, confusion_matrix
+        from sklearn.utils.multiclass import unique_labels
+
+        mgr = self._manager
+        zoo = mgr.classifiers
+        ts_z, ts_l = mgr.encode_all(self._test_iter, False)
+        ts_ly = np.asarray(ts_l["y"])
+        ts_y = np.asarray(mgr.class2idx(ts_l["y"]))
+
+        accs, reports, confmats = {}, {}, {}
+        for name in ("mlp", "svm", "lda", "qda"):
+            try:
+                pred = zoo.predict(ts_z, name)
+            except Exception as e:
+                print(f"[tester] {name} unavailable: {e}")
+                continue
+            pred_chars = np.asarray(mgr.idx2class(pred))
+            accs[f"accuracy_{name}"] = float(np.mean(pred == ts_y))
+            reports[name] = classification_report(
+                ts_ly, pred_chars, output_dict=True, zero_division=0)
+            confmats[name] = confusion_matrix(
+                ts_ly, pred_chars, normalize="true")
+
+        with open(os.path.join(self._out_dir, "accuracies.json"), "w") as f:
+            json.dump(accs, f)
+        with open(os.path.join(self._out_dir,
+                               "classification_report.json"), "w") as f:
+            json.dump(reports, f)
+
+        labels = unique_labels(ts_ly)
+        for name, cm in confmats.items():
+            self._plot_confusion_matrix(
+                cm, labels,
+                os.path.join(self._out_dir, f"confmat_{name}.svg"))
+
+        # per-region QDA reports + confusion matrices
+        if zoo is not None and zoo.region_qdas:
+            region_reports = {}
+            for key, (lo, hi) in mgr.latent_regions.items():
+                pred = zoo.region_qdas[key].predict(ts_z[:, lo:hi])
+                pred_chars = np.asarray(mgr.idx2class(pred))
+                region_reports[key] = classification_report(
+                    ts_ly, pred_chars, output_dict=True, zero_division=0)
+                region_reports[key]["accuracy"] = float(
+                    np.mean(pred == ts_y))
+            with open(os.path.join(
+                    self._out_dir,
+                    "classification_report_regions.json"), "w") as f:
+                json.dump(region_reports, f)
+            self.confusion_matrices_per_region(ts_z, ts_ly)
+        return accs
+
+    def confusion_matrices_per_region(self, ts_z, ts_ly):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+        from sklearn.metrics import confusion_matrix
+        from sklearn.utils.multiclass import unique_labels
+
+        mgr = self._manager
+        zoo = mgr.classifiers
+        labels = unique_labels(ts_ly)
+        for m, clf_dict in (("lda", zoo.region_ldas),
+                            ("qda", zoo.region_qdas)):
+            if not clf_dict:
+                continue
+            n_regions = len(clf_dict)
+            n_cols = 5
+            n_rows = -(-n_regions // n_cols)
+            plt.figure(figsize=(7.5 * n_cols, 6 * n_rows))
+            for n, (key, clf) in enumerate(clf_dict.items()):
+                lo, hi = mgr.latent_regions[key]
+                pred = np.asarray(mgr.idx2class(clf.predict(ts_z[:, lo:hi])))
+                cf = confusion_matrix(ts_ly, pred, normalize="true")
+                ax = plt.subplot(n_rows, n_cols, n + 1)
+                g = sns.heatmap(cf, annot=True, cmap="YlGnBu", ax=ax,
+                                vmin=0.0, vmax=1.0)
+                g.set_title(COLOUR2ATTRIBUTE.get(key, key))
+                g.set_xticklabels(labels)
+                g.set_yticklabels(labels)
+                g.set(ylabel="True Label", xlabel="Predicted Label")
+            plt.tight_layout()
+            plt.savefig(os.path.join(self._out_dir,
+                                     f"region_confmats_{m}.svg"),
+                        bbox_inches="tight")
+            plt.close("all")
+
+    @staticmethod
+    def _plot_confusion_matrix(cm, labels, path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        plt.figure()
+        ax = sns.heatmap(cm, annot=True, cmap="YlGnBu", vmin=0.0, vmax=1.0)
+        ax.set_xticklabels(labels)
+        ax.set_yticklabels(labels)
+        ax.set(ylabel="True Label", xlabel="Predicted Label")
+        plt.savefig(path, bbox_inches="tight", dpi=300)
+        plt.close()
+
+    # ------------------------------------------------------------------
+    # interpolations (reference test.py:544-637)
+    def interpolate(self, v_1: np.ndarray, v_2: np.ndarray):
+        """Per-feature / per-variable / all-features latent interpolation
+        between two meshes (raw vertex arrays)."""
+        mgr = self._manager
+        z_1 = np.asarray(mgr.encode(self._normalize(v_1)))
+        z_2 = np.asarray(mgr.encode(self._normalize(v_2)))
+        features = list(mgr.template.feat_and_cont.keys())
+        n = max(len(features) // 2, 2)
+
+        # per feature: walk each region's slice from z1 to z2 sequentially
+        rows = []
+        z = np.tile(z_1, (n, 1))
+        for feature in features:
+            lo, hi = mgr.latent_regions[feature]
+            z[:, lo:hi] = vector_linspace(z_1[lo:hi], z_2[lo:hi], n)
+            gen = self._unnormalize(np.asarray(mgr.generate(z)))
+            rows.append(make_image_grid(self._render(gen), nrow=n))
+            z = np.tile(z[-1], (n, 1))
+        self._save_image(
+            os.path.join(self._out_dir, "interpolate_per_feature.png"),
+            np.concatenate(rows, axis=0))
+
+        # all features at once
+        zs = vector_linspace(z_1, z_2, len(features))
+        gen = self._unnormalize(np.asarray(mgr.generate(zs)))
+        self._save_image(
+            os.path.join(self._out_dir, "interpolate_all.png"),
+            make_image_grid(self._render(gen), nrow=len(features)))
+
+    # ------------------------------------------------------------------
+    # surgical planning (reference test.py:652-905)
+    def _load_and_encode(self, mesh_path: str) -> np.ndarray:
+        verts = read_mesh(mesh_path).vertices.astype(np.float32)
+        return np.asarray(self._manager.encode(self._normalize(verts)))
+
+    def interpolate_syndrome_to_normal(self, patient_path: str,
+                                       n_p_to_3std: int = 8,
+                                       n_linspace: int = 5000,
+                                       render: bool = True) -> dict:
+        """Plan surgery: walk the patient latent toward the healthy-class
+        QDA Gaussian, locating the 3/2/1-std crossings by log-pdf thresholds
+        (reference test.py:652-748). Returns the key latents + per-procedure
+        interpolations; renders artifacts when render=True."""
+        mgr = self._manager
+        z_p = self._load_and_encode(patient_path).reshape(-1)
+        patient_fname = os.path.basename(patient_path)
+
+        qda = mgr.classifiers.qda
+        n_idx_label = mgr.class2idx("n")
+        i = int(np.where(qda.classes == n_idx_label)[0][0])
+        mean_h = qda.means[i]
+        cov_h = qda.covs[i]
+
+        # negative log-pdf thresholds at 1/2/3 std along the first
+        # eigen-axis of the covariance
+        eigval, _ = np.linalg.eigh(cov_h)
+        d = len(mean_h)
+        logdet = float(np.linalg.slogdet(cov_h)[1])
+        const = 0.5 * (d * np.log(2 * np.pi) + logdet)
+
+        def neg_logpdf(z):
+            diff = z - mean_h
+            maha2 = diff @ np.linalg.solve(cov_h, diff)
+            return const + 0.5 * maha2
+
+        # reference distribution: centered, diagonalized covariance; the
+        # k-std point lies at k·sqrt(λ_max) wait — reference uses the first
+        # eigenvalue axis (ascending order ⇒ smallest); kept identical.
+        ref_var = eigval[0]
+        ref_logdet = float(np.sum(np.log(eigval)))
+        ref_const = 0.5 * (d * np.log(2 * np.pi) + ref_logdet)
+
+        def ref_neg_logpdf_at_std(k):
+            return ref_const + 0.5 * (k ** 2)
+
+        thresholds = {3: ref_neg_logpdf_at_std(3),
+                      2: ref_neg_logpdf_at_std(2),
+                      1: ref_neg_logpdf_at_std(1)}
+
+        z_interp_full = vector_linspace(z_p, mean_h, n_linspace)
+        pdf_path = np.array([neg_logpdf(z) for z in z_interp_full])
+        targets = {}
+        for k, thr in thresholds.items():
+            hits = np.where(pdf_path <= thr)[0]
+            targets[k] = z_interp_full[hits[0]] if len(hits) \
+                else mean_h.astype(np.float32)
+
+        out = {"z_patient": z_p, "z_mean_target": mean_h,
+               "z_3std": targets[3], "z_2std": targets[2],
+               "z_1std": targets[1]}
+
+        # all-attributes interpolation
+        z_interp = np.concatenate([
+            vector_linspace(z_p, targets[3], n_p_to_3std),
+            targets[2][None], targets[1][None],
+            mean_h[None].astype(np.float32)], axis=0)
+        out["all_attributes"] = z_interp
+        if render:
+            self._render_embed_save_z_interpolations(
+                z_interp, patient_fname[:-4] + "_all_attributes")
+
+        # per-procedure interpolations: only the affected regions move
+        proc_distances = []
+        out["procedures"] = {}
+        for proc, attributes in PROCEDURES2ATTRIBUTES.items():
+            zp_grid = np.tile(z_p, (n_p_to_3std + 3, 1)).astype(np.float32)
+            for attr in attributes:
+                if attr not in mgr.latent_regions:
+                    continue
+                lo, hi = mgr.latent_regions[attr]
+                zp_grid[:n_p_to_3std, lo:hi] = vector_linspace(
+                    z_p[lo:hi], targets[3][lo:hi], n_p_to_3std)
+                zp_grid[n_p_to_3std, lo:hi] = targets[2][lo:hi]
+                zp_grid[n_p_to_3std + 1, lo:hi] = targets[1][lo:hi]
+                zp_grid[n_p_to_3std + 2, lo:hi] = mean_h[lo:hi]
+            out["procedures"][proc] = zp_grid
+            proc_distances.append({
+                "procedure": proc,
+                "d3": float(np.mean(
+                    (zp_grid[n_p_to_3std - 1] - mean_h) ** 2)),
+                "d2": float(np.mean((zp_grid[n_p_to_3std] - mean_h) ** 2)),
+                "d1": float(np.mean(
+                    (zp_grid[n_p_to_3std + 1] - mean_h) ** 2)),
+                "dm": float(np.mean(
+                    (zp_grid[n_p_to_3std + 2] - mean_h) ** 2)),
+            })
+            if render:
+                self._render_embed_save_z_interpolations(
+                    zp_grid, patient_fname[:-4] + "_" + proc)
+        if render:
+            import pandas as pd
+            interp_dir = os.path.join(self._out_dir, "interpolations")
+            os.makedirs(interp_dir, exist_ok=True)
+            pd.DataFrame(proc_distances).to_csv(os.path.join(
+                interp_dir,
+                patient_fname[:-4] + "_procedure_distances.csv"))
+        return out
+
+    def _render_embed_save_z_interpolations(self, z_interp, save_id):
+        """Render mesh sequence + error maps, export PLYs, overlay the
+        latent trajectory on the (pickled) embedding figures
+        (reference test.py:750-905)."""
+        mgr = self._manager
+        out_dir = os.path.join(self._out_dir, "interpolations", save_id)
+        os.makedirs(out_dir, exist_ok=True)
+
+        gen = self._unnormalize(
+            np.asarray(mgr.generate(z_interp.astype(np.float32))))
+        errors = np.asarray(mgr.compute_vertex_errors(
+            gen, np.broadcast_to(gen[0], gen.shape)))
+        renders = self._render(gen)
+        err_renders = self._render(gen, errors, 5)
+        self._save_image(os.path.join(out_dir, "interpolation.png"),
+                         make_image_grid(renders, nrow=len(gen)))
+        self._save_image(os.path.join(out_dir, "interpolation_errors.png"),
+                         make_image_grid(err_renders, nrow=len(gen)))
+        self._write_video(os.path.join(out_dir, "interpolation.mp4"),
+                          np.concatenate([renders, err_renders], axis=2),
+                          fps=2)
+        self.save_batch(gen, out_dir)
+
+        # embedding-space trajectory overlays
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import pickle
+
+            fig_path = os.path.join(self._out_dir,
+                                    "lda_emb_distributions.pkl")
+            if os.path.exists(fig_path):
+                with open(fig_path, "rb") as f:
+                    fig = pickle.load(f)
+                proj = mgr.lda_project_latents_in_2d(z_interp)
+                ax = fig.gca()
+                ax.plot(proj[:, 0], proj[:, 1], "-o", color="#e881a7",
+                        markersize=3)
+                fig.savefig(os.path.join(out_dir, save_id + "_emb.svg"))
+                plt.close(fig)
+        except Exception as e:
+            print(f"[tester] embedding overlay skipped: {e}")
+
+    # ------------------------------------------------------------------
+    # pre/post surgery assessment (reference test.py:972-1157)
+    def evaluate_pre_post_pair(self, pre_path, post_path, patient_id,
+                               procedure="monobloc") -> dict:
+        mgr = self._manager
+        zoo = mgr.classifiers
+        z_pre = self._load_and_encode(pre_path).reshape(1, -1)
+        z_post = self._load_and_encode(post_path).reshape(1, -1)
+
+        pre_class = mgr.classify_latent(z_pre, "qda")
+        post_class = mgr.classify_latent(z_post, "qda")
+
+        n_label = mgr.class2idx("n")
+        d_pre = zoo.mahalanobis(z_pre, n_label)
+        d_post = zoo.mahalanobis(z_post, n_label)
+        metric_global = (d_pre - d_post) / d_post
+
+        qda = zoo.qda
+        i = int(np.where(qda.classes == n_label)[0][0])
+        mean_h = qda.means[i]
+        cov_h = qda.covs[i]
+        d_pre_l2 = float(np.linalg.norm(z_pre[0] - mean_h))
+        d_post_l2 = float(np.linalg.norm(z_post[0] - mean_h))
+        metric_global_l2 = (d_pre_l2 - d_post_l2) / d_post_l2
+
+        displacement = z_post[0] - z_pre[0]
+        ideal = mean_h - z_pre[0]
+        cos_angle = float(
+            displacement @ ideal /
+            (np.linalg.norm(displacement) * np.linalg.norm(ideal) + 1e-12))
+        diff = z_post[0] - z_pre[0]
+        length_maha = float(np.sqrt(diff @ np.linalg.solve(cov_h, diff)))
+        metric_global_dir = length_maha * cos_angle / d_post
+
+        # procedure metric, weighted by per-region QDA accuracy if the
+        # classifier test suite ran
+        report_path = os.path.join(self._out_dir,
+                                   "classification_report_regions.json")
+        region_reports = None
+        if os.path.exists(report_path):
+            with open(report_path) as f:
+                region_reports = json.load(f)
+
+        affected = [a for a in PROCEDURES2ATTRIBUTES[procedure]
+                    if a in mgr.latent_regions]
+        metric_regions = 0.0
+        region_metrics = {}
+        for key in affected:
+            lo, hi = mgr.latent_regions[key]
+            d_pre_r = zoo.mahalanobis(z_pre[0, lo:hi], n_label, region=key)
+            d_post_r = zoo.mahalanobis(z_post[0, lo:hi], n_label,
+                                       region=key)
+            w = region_reports[key]["accuracy"] if region_reports else 1.0
+            metric_regions += w * ((d_pre_r - d_post_r) / d_post_r)
+
+            rq = zoo.region_qdas[key]
+            j = int(np.where(rq.classes == n_label)[0][0])
+            m_r, cov_r = rq.means[j], rq.covs[j]
+            disp = z_post[0, lo:hi] - z_pre[0, lo:hi]
+            ideal_r = m_r - z_pre[0, lo:hi]
+            cos_r = float(disp @ ideal_r /
+                          (np.linalg.norm(disp) * np.linalg.norm(ideal_r)
+                           + 1e-12))
+            len_r = float(np.sqrt(disp @ np.linalg.solve(cov_r, disp)))
+            region_metrics[key] = {
+                "metric_distances": (d_pre_r - d_post_r) / d_post_r,
+                "metric_with_angle": len_r * cos_r / d_post_r,
+            }
+        metric_regions /= max(len(affected), 1)
+
+        return {"pre_class": pre_class, "post_class": post_class,
+                "global_metric": metric_global,
+                "global_metric_l2": metric_global_l2,
+                "global_metric_directional": metric_global_dir,
+                "procedure_metric": metric_regions,
+                "region_metrics": region_metrics}
+
+    def evaluate_all_pre_post_pairs_in_excel(self, pairs_root,
+                                             pairs_excel_path):
+        """Batch pre/post driver over an xlsx table + seaborn boxplots
+        (reference test.py:906-970)."""
+        import pandas as pd
+
+        pairs_df = pd.read_excel(pairs_excel_path)
+        out_dir = os.path.join(self._out_dir, "pre_post_eval_plots")
+        os.makedirs(out_dir, exist_ok=True)
+
+        region_rows, region_rows_a = [], []
+        for r_idx, row in pairs_df.iterrows():
+            metrics = self.evaluate_pre_post_pair(
+                os.path.join(pairs_root, row["Pre name"]),
+                os.path.join(pairs_root, row["Post name"]),
+                str(row["PID"]), row["Surgery regions"])
+            region_metrics = metrics.pop("region_metrics")
+            rr = {"Procedure": row.get("Procedure")}
+            rra = {"Procedure": row.get("Procedure"),
+                   "Syndrome": row.get("Syndrome")}
+            for k, m in region_metrics.items():
+                name = COLOUR2ATTRIBUTE.get(k, k)
+                rr[name] = m["metric_distances"]
+                rra[name] = m["metric_with_angle"]
+            region_rows.append(rr)
+            region_rows_a.append(rra)
+            for k, v in metrics.items():
+                pairs_df.loc[r_idx, k] = str(v) \
+                    if isinstance(v, list) else v
+
+        pairs_df.to_csv(os.path.join(
+            out_dir, os.path.basename(pairs_excel_path).rsplit(".", 1)[0]
+            + "_with_results.csv"))
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        rdf = pd.DataFrame(region_rows).fillna(0)
+        plt.close("all")
+        ax = sns.boxplot(data=pd.melt(rdf, id_vars="Procedure"),
+                         x="variable", y="value", hue="Procedure")
+        ax.set_xticklabels(ax.get_xticklabels(), rotation=30)
+        ax.figure.savefig(os.path.join(out_dir,
+                                       "region_metrics_distances.svg"))
+        plt.close("all")
+        return pairs_df
+
+    def compute_and_save_postop_mesh_colourmap(self, pre_path, post_path,
+                                               out_name="postop_displacement"):
+        """Pre/post displacement error-colormap export
+        (reference test.py:1138-1151)."""
+        pre = read_mesh(pre_path).vertices.astype(np.float32)
+        post = read_mesh(post_path).vertices.astype(np.float32)
+        disp = np.asarray(self._manager.compute_vertex_errors(
+            post[None], pre[None]))[0]
+        from ..viz.colors import errors_to_colors
+        cols = errors_to_colors(disp, 0, disp.max() or 1.0, "plasma")
+        rgba = np.concatenate(
+            [cols, np.full((len(cols), 1), 255, np.uint8)], axis=1)
+        write_ply(os.path.join(self._out_dir, out_name + ".ply"), post,
+                  self._manager.template.face, rgba)
+
+    # ------------------------------------------------------------------
+    # mesh fitting (reference test.py:336-520)
+    def fit_mesh(self, mesh_path, landmarks, lr=5e-3, iterations=250,
+                 n_restarts=16, seed=0):
+        """Fit a latent to an unregistered scan: Procrustes landmark
+        alignment then Adam over multiple z inits minimizing
+        10·landmark-MSE + chamfer, pick the best, classify it.
+
+        landmarks: [20, 3] array or a path to the reference's landmark
+        JSON ([{'x':..,'y':..,'z':..}, ...]).
+        """
+        import optax
+
+        mgr = self._manager
+        scan = read_mesh(mesh_path).vertices.astype(np.float64)
+        if isinstance(landmarks, str):
+            with open(landmarks) as f:
+                pts = json.load(f)
+            landmarks = np.asarray([[p["x"], p["y"], p["z"]] for p in pts])
+        landmarks = np.asarray(landmarks, np.float64)
+
+        # Procrustes alignment of scan onto the template's landmark frame
+        tpl_lnd = mgr.template.pos[self.template_landmarks_idx].astype(
+            np.float64)
+        t_tpl = tpl_lnd.mean(0)
+        c_tpl = tpl_lnd - t_tpl
+        n_tpl = np.linalg.norm(c_tpl)
+        c_tpl = c_tpl / n_tpl
+
+        t_new = landmarks.mean(0)
+        c_new = (landmarks - t_new)
+        n_new = np.linalg.norm(c_new)
+        c_new = c_new / n_new
+
+        from scipy.linalg import orthogonal_procrustes
+        rotation, scale = orthogonal_procrustes(c_tpl, c_new)
+
+        aligned = (scan - t_new) / n_new
+        aligned = (aligned @ rotation.T) * scale
+        aligned = aligned * n_tpl + t_tpl
+        aligned_lnd = (c_new @ rotation.T) * scale * n_tpl + t_tpl
+
+        # optimize a population of latents
+        rng = np.random.default_rng(seed)
+        z0 = rng.standard_normal(
+            (n_restarts - 1, mgr.model_latent_size)).astype(np.float32)
+        z0 = np.concatenate(
+            [z0, np.asarray(self.latent_stats["means"],
+                            np.float32)[None]], axis=0)
+
+        target = jnp.asarray(aligned, jnp.float32)
+        target_lnd = jnp.asarray(aligned_lnd, jnp.float32)
+        lnd_idx = jnp.asarray(self.template_landmarks_idx)
+        mean_j = jnp.asarray(self._norm["mean"])
+        std_j = jnp.asarray(self._norm["std"])
+
+        from ..models.sdvae import decode, from_vertex_major
+
+        params = mgr.state.params
+        geom = mgr.geometry
+        config = mgr.net_config
+
+        def chamfer(a, b):
+            # [P,3] vs [Q,3] squared-dist chamfer, both directions
+            d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+            return jnp.mean(jnp.min(d2, axis=1)) + \
+                jnp.mean(jnp.min(d2, axis=0))
+
+        def losses(z):
+            gen = from_vertex_major(decode(params, geom, config, z))
+            gen = gen * std_j + mean_j                    # [R, N, 3]
+            lnd_loss = jnp.mean(
+                (gen[:, lnd_idx, :] - target_lnd) ** 2, axis=(1, 2))
+            # subsample the scan for the chamfer target (keeps the
+            # pairwise matrix small; full-res available via chunking)
+            ch = jax.vmap(lambda g: chamfer(g[::4], target[::4]))(gen)
+            return lnd_loss, ch
+
+        def loss_fn(z):
+            lnd_loss, ch = losses(z)
+            return jnp.sum(10.0 * lnd_loss + ch)
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def step(z, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(z)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(z, updates), opt_state, loss
+
+        z = jnp.asarray(z0)
+        opt_state = opt.init(z)
+        for _ in range(iterations):
+            z, opt_state, loss = step(z, opt_state)
+
+        lnd_loss, ch = jax.jit(losses)(z)
+        errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
+        best = int(np.argmin(errors))
+        z_best = np.asarray(z)[best]
+
+        gen = self._unnormalize(np.asarray(mgr.generate(z_best)))
+        result = {"z": z_best, "vertices": gen,
+                  "chamfer_mm2": float(np.asarray(ch)[best]
+                                       * mgr.to_mm_const),
+                  "landmark_mse_mm2": float(np.asarray(lnd_loss)[best]
+                                            * mgr.to_mm_const),
+                  "aligned_scan": aligned}
+        if mgr.classifiers is not None and mgr.classifiers.qda is not None:
+            result["pred_class"] = mgr.classify_latent(
+                z_best[None], "qda")
+            region_preds = {}
+            for key, (lo, hi) in mgr.latent_regions.items():
+                if mgr.classifiers.region_qdas:
+                    p = mgr.classifiers.region_qdas[key].predict(
+                        z_best[None, lo:hi])
+                    region_preds[COLOUR2ATTRIBUTE.get(key, key)] = \
+                        mgr.idx2class(p)
+            result["region_pred_classes"] = region_preds
+        return result

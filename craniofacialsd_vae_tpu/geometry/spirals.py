@@ -115,12 +115,23 @@ def _next_ring(rings: list, last_ring: list, other: set) -> list:
 
 def extract_spirals(faces: np.ndarray, vertices: np.ndarray,
                     seq_length: int, dilation: int = 1,
-                    openmesh_order: bool = True) -> np.ndarray:
+                    openmesh_order: bool = True,
+                    use_native: str = "auto") -> np.ndarray:
     """[N, seq_length] int spiral indices (reference compute_spirals.py:34-61).
 
     With openmesh_order=True (default) the one-ring circulation reproduces
     OpenMesh exactly, giving bit parity with the reference's spirals.pkl.
+    The C++ engine (native/geometry_kernels.cpp) produces bit-identical
+    tables ~10× faster and is used when built (use_native='auto').
     """
+    if use_native in ("auto", "force") and openmesh_order:
+        from . import native
+        if native.is_available():
+            return native.extract_spirals_native(faces, vertices,
+                                                 seq_length, dilation)
+        if use_native == "force":
+            raise RuntimeError("native geometry library not built")
+
     num_vertices = vertices.shape[0]
     if openmesh_order:
         hm = HalfedgeMesh.from_faces(faces, num_vertices)

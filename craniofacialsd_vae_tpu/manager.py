@@ -260,6 +260,49 @@ class ModelManager:
             writer.add_scalar(f"{phase}/{k}", v, epoch + 1)
 
     # ------------------------------------------------------------------
+    # rendering (reference mm.py:616-658; pure-JAX rasterizer, host path)
+    def render(self, batched_verts, vertex_errors=None,
+               error_max_scale=None, image_size: int = 256) -> np.ndarray:
+        """[B, N, 3] → [B, H, W, 3] images; with vertex_errors, shadeless
+        plasma colormap like the reference's error renders."""
+        from .viz.colors import errors_to_colors
+        from .viz.renderer import render_batch
+
+        verts = np.asarray(batched_verts)
+        if vertex_errors is not None:
+            cols = errors_to_colors(np.asarray(vertex_errors), 0,
+                                    error_max_scale, "plasma") / 255.0
+            return render_batch(verts, self.template.face, cols,
+                                image_size=image_size, shadeless=True)
+        return render_batch(verts, self.template.face,
+                            image_size=image_size)
+
+    def log_images(self, batch, writer, epoch: int, normalization=None,
+                   phase: str = "train", error_max_scale: float = 5.0,
+                   max_meshes: int = 4):
+        """GT / reconstruction / error-map grid to TensorBoard
+        (reference mm.py:594-614)."""
+        from .viz.renderer import make_image_grid
+
+        x = np.asarray(batch["x"])[:max_meshes]
+        out = np.asarray(self.forward(x, training=False)[0])
+        if normalization is not None:
+            mean = np.asarray(normalization["mean"])
+            std = np.asarray(normalization["std"])
+            x = x * std + mean
+            out = out * std + mean
+        errors = np.asarray(self.compute_vertex_errors(out, x))
+        renders = np.concatenate([
+            self.render(x), self.render(out),
+            self.render(out, errors, error_max_scale)], axis=0)
+        grid = make_image_grid(renders, nrow=len(x))
+        try:
+            writer.add_image(phase, grid.transpose(2, 0, 1),
+                             global_step=epoch + 1)
+        except Exception:
+            pass  # jsonl fallback writer has no image support
+
+    # ------------------------------------------------------------------
     # latents for analysis
     def encode_all(self, batch_iter, is_train_loader: bool = True):
         """Encode every (diagonal) mesh in a loader → (latents [M, Z],

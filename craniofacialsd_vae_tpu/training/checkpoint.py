@@ -52,20 +52,36 @@ def resume_checkpoint(checkpoint_dir: str, state):
     if model_path is None:
         return state, 0
     with open(model_path, "rb") as f:
+        blob = f.read()
+    try:
         model = serialization.from_bytes(
-            {"params": state.params, "clf_params": state.clf_params},
-            f.read())
+            {"params": state.params, "clf_params": state.clf_params}, blob)
+    except ValueError:
+        # checkpoint written with a different classifier-head architecture —
+        # restore the network and keep the fresh classifier head
+        raw = serialization.msgpack_restore(blob)
+        params = serialization.from_state_dict(state.params, raw["params"])
+        model = {"params": params, "clf_params": state.clf_params}
+        print("Classifier head shape mismatch; restored network weights only")
     epoch = int(_MODEL_RE.search(model_path).group(1))
     opt_path = os.path.join(checkpoint_dir, "optimizer.ckpt")
     opt_state, clf_opt_state = state.opt_state, state.clf_opt_state
     if os.path.exists(opt_path):
         with open(opt_path, "rb") as f:
+            opt_blob = f.read()
+        try:
             opt = serialization.from_bytes(
                 {"opt_state": state.opt_state,
                  "clf_opt_state": state.clf_opt_state,
-                 "epoch": epoch}, f.read())
-        opt_state = opt["opt_state"]
-        clf_opt_state = opt["clf_opt_state"]
+                 "epoch": epoch}, opt_blob)
+            opt_state = opt["opt_state"]
+            clf_opt_state = opt["clf_opt_state"]
+        except ValueError:
+            raw = serialization.msgpack_restore(opt_blob)
+            opt_state = serialization.from_state_dict(
+                state.opt_state, raw["opt_state"])
+            print("Classifier optimizer mismatch; restored net optimizer "
+                  "state only")
 
     from .trainer import TrainState
 

@@ -1,0 +1,231 @@
+"""Mesh renderer — pure JAX z-buffer rasterizer.
+
+The reference renders with pytorch3d's C++/CUDA rasterizer + Gouraud/
+shadeless shaders (model_manager.py:616-658, 779-788). There is no JAX
+analog, so this module implements one natively: a perspective camera on the
+reference's viewpoint convention (dist 2.5, elev 0, azim 15°, point light at
+(0,0,3)), per-vertex Gouraud lighting, and a tiled edge-function rasterizer
+that z-buffers pixel×triangle tiles with a lax.scan over triangle chunks —
+all dense regular compute that runs happily on TPU (and acceptably on CPU
+for small images). Rendering is an offline artifact path, not part of the
+training step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["look_at_camera", "vertex_normals", "render_mesh",
+           "render_batch", "make_image_grid"]
+
+
+def look_at_camera(dist: float = 2.5, elev_deg: float = 0.0,
+                   azim_deg: float = 15.0):
+    """(eye [3], R [3,3]) world→camera rotation for a camera orbiting the
+    origin (reference viewpoint: look_at_view_transform(2.5, 0, 15))."""
+    elev = np.deg2rad(elev_deg)
+    azim = np.deg2rad(azim_deg)
+    eye = np.array([dist * np.cos(elev) * np.sin(azim),
+                    dist * np.sin(elev),
+                    dist * np.cos(elev) * np.cos(azim)])
+    forward = -eye / np.linalg.norm(eye)            # toward origin
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    rot = np.stack([right, true_up, -forward])       # rows: cam axes
+    return eye.astype(np.float32), rot.astype(np.float32)
+
+
+def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted per-vertex normals, scatter-free would need transpose
+    tables; this is host/offline code so segment_sum is fine."""
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    fn = jnp.cross(v1 - v0, v2 - v0)                 # [F, 3], area-weighted
+    n = jnp.zeros_like(verts)
+    for i in range(3):
+        n = n.at[faces[:, i]].add(fn)
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
+@partial(jax.jit, static_argnames=("image_size", "tri_chunk"))
+def _rasterize(verts_cam, faces, colors, image_size: int = 256,
+               fov_deg: float = 60.0, tri_chunk: int = 4096,
+               background: float = 0.0):
+    """verts_cam [V,3] (camera frame, -z forward), faces [F,3],
+    colors [V,3] → [H,W,3] image."""
+    f = 1.0 / jnp.tan(jnp.deg2rad(fov_deg) / 2)
+    z = -verts_cam[:, 2]                             # positive depth
+    x_ndc = f * verts_cam[:, 0] / jnp.maximum(z, 1e-6)
+    y_ndc = f * verts_cam[:, 1] / jnp.maximum(z, 1e-6)
+    px = (x_ndc * 0.5 + 0.5) * image_size
+    py = (0.5 - y_ndc * 0.5) * image_size
+    pts = jnp.stack([px, py, z], axis=1)             # [V, 3]
+
+    n_faces = faces.shape[0]
+    pad = (-n_faces) % tri_chunk
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
+    # degenerate padding (zero-index) handled by the valid mask
+    valid = jnp.concatenate(
+        [jnp.ones(n_faces, bool), jnp.zeros(pad, bool)])
+
+    tri = pts[faces_p]                               # [Fp, 3, 3]
+    tri_col = colors[faces_p]                        # [Fp, 3, 3]
+    n_chunks = tri.shape[0] // tri_chunk
+    tri = tri.reshape(n_chunks, tri_chunk, 3, 3)
+    tri_col = tri_col.reshape(n_chunks, tri_chunk, 3, 3)
+    valid = valid.reshape(n_chunks, tri_chunk)
+
+    ys = jnp.arange(image_size) + 0.5
+    xs = jnp.arange(image_size) + 0.5
+    pxg, pyg = jnp.meshgrid(xs, ys)                  # [H, W]
+    pix = jnp.stack([pxg.ravel(), pyg.ravel()], axis=1)   # [P, 2]
+
+    def chunk_body(carry, inputs):
+        best_z, best_rgb = carry
+        t, c, v = inputs                             # [Tc,3,3],[Tc,3,3],[Tc]
+        x0, y0 = t[:, 0, 0], t[:, 0, 1]
+        x1, y1 = t[:, 1, 0], t[:, 1, 1]
+        x2, y2 = t[:, 2, 0], t[:, 2, 1]
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)   # [Tc]
+
+        pxv = pix[:, 0][:, None]                     # [P, 1]
+        pyv = pix[:, 1][:, None]
+        w0 = (x2 - x1) * (pyv - y1) - (y2 - y1) * (pxv - x1)
+        w1 = (x0 - x2) * (pyv - y2) - (y0 - y2) * (pxv - x2)
+        w2 = (x1 - x0) * (pyv - y0) - (y1 - y0) * (pxv - x0)
+        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        b0 = w0 * inv_area
+        b1 = w1 * inv_area
+        b2 = w2 * inv_area
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & \
+            (jnp.abs(area) > 1e-12) & v[None, :]
+        depth = b0 * t[:, 0, 2] + b1 * t[:, 1, 2] + b2 * t[:, 2, 2]
+        depth = jnp.where(inside & (depth > 1e-6), depth, jnp.inf)
+
+        hit = jnp.argmin(depth, axis=1)              # [P]
+        zmin = jnp.take_along_axis(depth, hit[:, None], axis=1)[:, 0]
+        bsel = jnp.stack([
+            jnp.take_along_axis(b0, hit[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(b1, hit[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(b2, hit[:, None], axis=1)[:, 0]], axis=1)
+        rgb = jnp.einsum("pk,pkc->pc", bsel, c[hit])
+
+        better = zmin < best_z
+        best_rgb = jnp.where(better[:, None], rgb, best_rgb)
+        best_z = jnp.where(better, zmin, best_z)
+        return (best_z, best_rgb), None
+
+    n_pix = image_size * image_size
+    init = (jnp.full(n_pix, jnp.inf),
+            jnp.full((n_pix, 3), background))
+    (zbuf, rgb), _ = jax.lax.scan(chunk_body, init, (tri, tri_col, valid))
+    return rgb.reshape(image_size, image_size, 3)
+
+
+def render_mesh(verts, faces, vertex_colors=None, image_size: int = 256,
+                dist: float = 2.5, elev: float = 0.0, azim: float = 15.0,
+                shadeless: bool = False,
+                light_pos=(0.0, 0.0, 3.0)) -> np.ndarray:
+    """Render one mesh → [H, W, 3] float image in [0, 1].
+
+    shadeless=True reproduces the reference's ShadelessShader (textures
+    sampled directly, used for error colormaps)."""
+    verts = jnp.asarray(verts, jnp.float32)
+    faces_j = jnp.asarray(np.asarray(faces), jnp.int32)
+    if vertex_colors is None:
+        vertex_colors = jnp.full(verts.shape, 0.5)
+    else:
+        vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
+
+    if not shadeless:
+        normals = vertex_normals(verts, faces_j)
+        light = jnp.asarray(light_pos) - verts
+        light = light / (jnp.linalg.norm(light, axis=-1, keepdims=True)
+                         + 1e-12)
+        diffuse = jnp.clip(jnp.sum(normals * light, axis=-1), 0.0, 1.0)
+        shade = 0.25 + 0.75 * diffuse
+        vertex_colors = vertex_colors * shade[:, None]
+
+    eye, rot = look_at_camera(dist, elev, azim)
+    verts_cam = (verts - eye) @ rot.T
+    img = _rasterize(verts_cam, faces_j, vertex_colors,
+                     image_size=image_size)
+    return np.clip(np.asarray(img), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("image_size", "shadeless"))
+def _render_batch_jit(verts, faces, colors, eye, rot, light_pos,
+                      image_size: int, shadeless: bool):
+    """[B, N, 3] → [B, H, W, 3], fully vmapped on device."""
+
+    def one(v, c):
+        if not shadeless:
+            normals = vertex_normals(v, faces)
+            light = light_pos - v
+            light = light / (jnp.linalg.norm(light, axis=-1, keepdims=True)
+                             + 1e-12)
+            diffuse = jnp.clip(jnp.sum(normals * light, axis=-1), 0.0, 1.0)
+            c = c * (0.25 + 0.75 * diffuse)[:, None]
+        v_cam = (v - eye) @ rot.T
+        return _rasterize(v_cam, faces, c, image_size=image_size)
+
+    return jax.vmap(one)(verts, colors)
+
+
+def render_batch(batched_verts, faces, vertex_colors=None,
+                 image_size: int = 256, dist: float = 2.5,
+                 elev: float = 0.0, azim: float = 15.0,
+                 shadeless: bool = False, light_pos=(0.0, 0.0, 3.0),
+                 max_vmap: int = 4) -> np.ndarray:
+    """[B, N, 3] → [B, H, W, 3].
+
+    vmapped on device in sub-batches of max_vmap — the rasterizer's
+    pixel-tile × triangle-chunk working set scales with the vmap width, so
+    wider batches exhaust HBM on big templates."""
+    verts = np.asarray(batched_verts, np.float32)
+    faces_j = jnp.asarray(np.asarray(faces), jnp.int32)
+    if vertex_colors is None:
+        colors = np.full(verts.shape, 0.5, np.float32)
+    else:
+        colors = np.asarray(vertex_colors, np.float32)
+        if colors.ndim == 2:
+            colors = np.broadcast_to(colors[None], verts.shape)
+    eye, rot = look_at_camera(dist, elev, azim)
+
+    out = []
+    for s in range(0, len(verts), max_vmap):
+        sub_v = verts[s:s + max_vmap]
+        sub_c = colors[s:s + max_vmap]
+        pad = max_vmap - len(sub_v)          # pad to a single compiled shape
+        if pad:
+            sub_v = np.concatenate([sub_v, sub_v[-1:].repeat(pad, 0)])
+            sub_c = np.concatenate([sub_c, sub_c[-1:].repeat(pad, 0)])
+        img = _render_batch_jit(jnp.asarray(sub_v), faces_j,
+                                jnp.asarray(sub_c), jnp.asarray(eye),
+                                jnp.asarray(rot), jnp.asarray(light_pos),
+                                image_size, shadeless)
+        out.append(np.asarray(img)[:max_vmap - pad if pad else max_vmap])
+    return np.clip(np.concatenate(out), 0.0, 1.0)
+
+
+def make_image_grid(images: np.ndarray, nrow: int = 4, padding: int = 10,
+                    pad_value: float = 1.0) -> np.ndarray:
+    """[B, H, W, 3] → single grid image (torchvision make_grid analog)."""
+    b, h, w, c = images.shape
+    ncol = nrow
+    nrows = -(-b // ncol)
+    grid = np.full((nrows * (h + padding) + padding,
+                    ncol * (w + padding) + padding, c), pad_value,
+                   np.float32)
+    for i in range(b):
+        r, col = divmod(i, ncol)
+        y = padding + r * (h + padding)
+        x = padding + col * (w + padding)
+        grid[y:y + h, x:x + w] = images[i]
+    return grid

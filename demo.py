@@ -1,0 +1,124 @@
+"""Demo / reproducibility script (reference demo.ipynb analog).
+
+Runs the demo workflow end-to-end against the reference's shipped
+demo_files/ artifacts:
+  1. load the segmented template + precomputed transforms/spirals
+     (bit-compatible importers — our own preprocessing reproduces them
+     exactly; see tests/test_geometry.py),
+  2. spectral-interpolation augmentation of two demo meshes,
+  3. encode the 12 demo meshes and diagnose them with the reference's
+     QDA classifier pickle (identical predictions to sklearn),
+  4. project latents with the reference's LDA (global + per-region),
+  5. surgical-planning interpolation from a syndromic patient toward the
+     healthy-class distribution, rendered as an image strip.
+
+The reference's network checkpoint is a missing large blob in this mount,
+so the encoder weights come from --checkpoint (a trained run) or fresh
+initialization (classifier parity in step 3 is then demonstrated on the
+latents' pipeline mechanics rather than clinical accuracy).
+
+Usage: python demo.py [--checkpoint outputs/<id>/checkpoints] [--out demo_out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+DEMO = "/root/reference/demo_files"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--out", type=str, default="demo_out")
+    args = parser.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    setup_jax()
+
+    from craniofacialsd_vae_tpu.analysis.classifiers import LatentClassifiers
+    from craniofacialsd_vae_tpu.analysis.tester import vector_linspace
+    from craniofacialsd_vae_tpu.data.augmentation import \
+        spectral_interpolation
+    from craniofacialsd_vae_tpu.geometry import read_mesh
+    from craniofacialsd_vae_tpu.manager import ModelManager
+    from craniofacialsd_vae_tpu.ops.eigh import laplacian_eigendecomposition
+    from craniofacialsd_vae_tpu.utils import get_config
+    from craniofacialsd_vae_tpu.viz.renderer import (make_image_grid,
+                                                     render_batch)
+
+    # -- 1. manager over the demo template + cached transforms/spirals ----
+    config = get_config(os.path.join(DEMO, "config.yaml"))
+    config["data"]["template_path"] = os.path.join(DEMO, "template.ply")
+    config["data"]["dataset_path"] = os.path.join(DEMO, "meshes")
+    manager = ModelManager(config, precomputed_storage_path=DEMO)
+    manager.set_class_conversions({"a": 0, "m": 1, "c": 2, "n": 3, "b": 4})
+    if args.checkpoint:
+        manager.resume(args.checkpoint)
+
+    import torch
+    norm = torch.load(os.path.join(DEMO, "norm.pt"))
+    mean = norm["mean"].numpy()
+    std = norm["std"].numpy()
+
+    # -- 2. spectral augmentation demo ------------------------------------
+    meshes_dir = os.path.join(DEMO, "meshes")
+    names = sorted(os.listdir(meshes_dir))
+    print(f"demo meshes: {len(names)}")
+    v1 = read_mesh(os.path.join(meshes_dir, names[0])).vertices
+    v2 = read_mesh(os.path.join(meshes_dir, names[1])).vertices
+    print("computing Laplacian eigenbasis (k=500, on-accelerator)…")
+    _, eigvecs = laplacian_eigendecomposition(manager.template, k=500)
+    rng = np.random.default_rng(0)
+    aug = spectral_interpolation(eigvecs, v1[None], v2[None], rng)[0]
+    imgs = render_batch(np.stack([v1, v2, aug]), manager.template.face)
+    import imageio.v2 as imageio
+    imageio.imwrite(os.path.join(args.out, "augmentation.png"),
+                    (make_image_grid(imgs, nrow=3) * 255).astype(np.uint8))
+    print("augmentation demo → augmentation.png")
+
+    # -- 3. encode + QDA diagnosis with the reference's classifiers -------
+    zoo = LatentClassifiers(latent_size=manager.model_latent_size,
+                            latent_regions=manager.latent_regions)
+    zoo.load_reference_pickles(os.path.join(DEMO, "checkpoints"))
+    zoo.load_reference_pickles(DEMO)  # region_ldas.pkl
+    manager.classifiers = zoo
+
+    verts = np.stack([read_mesh(os.path.join(meshes_dir, n)).vertices
+                      for n in names]).astype(np.float32)
+    v_norm = (verts - mean) / std
+    z = np.asarray(manager.encode(v_norm))
+    diagnosis = manager.classify_latent(z, "qda")
+    for n, d in zip(names, diagnosis):
+        print(f"  {n}: true={n[0]} predicted={d}")
+
+    # -- 4. LDA projections (global + per-region) -------------------------
+    emb = zoo.lda.transform_sklearn_style(z)
+    print(f"global LDA embedding: {emb.shape}")
+    region_embs = {}
+    for key, (lo, hi) in manager.latent_regions.items():
+        region_embs[key] = zoo.region_ldas[key].transform_sklearn_style(
+            z[:, lo:hi])
+    print(f"per-region LDA embeddings: {len(region_embs)} regions")
+
+    # -- 5. surgical-planning interpolation -------------------------------
+    sick = [i for i, n in enumerate(names) if n[0] in "acm"][0]
+    n_cls_idx = manager.class2idx("n")
+    i_h = int(np.where(zoo.qda.classes == n_cls_idx)[0][0])
+    z_interp = vector_linspace(z[sick], zoo.qda.means[i_h], 11)
+    gen = np.asarray(manager.generate(z_interp)) * std + mean
+    imgs = render_batch(gen, manager.template.face)
+    imageio.imwrite(
+        os.path.join(args.out, "planning_interpolation.png"),
+        (make_image_grid(imgs, nrow=11) * 255).astype(np.uint8))
+    print(f"planning demo ({names[sick]} → healthy mean) → "
+          "planning_interpolation.png")
+    print("demo complete →", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Evaluation entry point (reference test.py __main__ analog).
+
+    python test.py --id=my_run [--output_path=.] [--experiment=standard]
+
+Loads the run's config snapshot, resumes the last checkpoint + classifiers,
+and runs the selected experiment:
+  standard     — full suite: traversals, embeddings, generation, classifier
+                 metrics, reconstruction + diversity → eval_metrics.json
+  traversals | embeddings | generation | classifiers | recon — individually
+  planning     — surgical planning for --mesh (syndrome → healthy walk)
+  prepost      — pre/post assessment for --mesh (pre) and --mesh2 (post)
+  fit          — fit an unregistered scan: --mesh + --landmarks json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--id", type=str, required=True)
+    parser.add_argument("--output_path", type=str, default=".")
+    parser.add_argument("--experiment", type=str, default="standard")
+    parser.add_argument("--mesh", type=str, default=None)
+    parser.add_argument("--mesh2", type=str, default=None)
+    parser.add_argument("--landmarks", type=str, default=None)
+    parser.add_argument("--procedure", type=str, default="monobloc")
+    args = parser.parse_args()
+
+    output_dir = os.path.join(args.output_path, "outputs", args.id)
+    config_path = os.path.join(output_dir, "config.yaml")
+    if not os.path.exists(config_path):
+        raise SystemExit(f"no run found at {output_dir} "
+                         "(missing config.yaml — train first)")
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    setup_jax()
+
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+    from craniofacialsd_vae_tpu.utils import get_config
+
+    config = get_config(config_path)
+    manager = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+
+    train_set, val_set, test_set, normalization, class_weights = \
+        build_datasets(config, manager.template)
+    manager.set_class_conversions_and_weights(class_weights)
+
+    checkpoint_dir = os.path.join(output_dir, "checkpoints")
+    manager.resume(checkpoint_dir)
+
+    batch_size = config["optimization"]["batch_size"]
+    train_iter = BatchIterator(train_set, batch_size, shuffle=False)
+    test_iter = BatchIterator(test_set, batch_size, shuffle=False,
+                              drop_last=False)
+
+    tester = Tester(manager, normalization, train_iter, test_iter,
+                    output_dir, config)
+
+    exp = args.experiment
+    if exp == "standard":
+        metrics = tester()
+        print(json.dumps(metrics, indent=1))
+    elif exp == "traversals":
+        tester.latent_traversals(use_z_stats=False)
+    elif exp == "embeddings":
+        tester.plot_embeddings()
+    elif exp == "generation":
+        tester.random_generation_and_rendering()
+        tester.random_generation_and_save()
+    elif exp == "classifiers":
+        print(json.dumps(tester.test_classifiers(), indent=1))
+    elif exp == "recon":
+        print(json.dumps(tester.reconstruction_errors(), indent=1))
+    elif exp == "planning":
+        assert args.mesh, "--mesh required"
+        out = tester.interpolate_syndrome_to_normal(args.mesh)
+        print("planned latents:", {k: v.shape for k, v in out.items()
+                                   if hasattr(v, "shape")})
+    elif exp == "prepost":
+        assert args.mesh and args.mesh2, "--mesh and --mesh2 required"
+        metrics = tester.evaluate_pre_post_pair(
+            args.mesh, args.mesh2, "cli", args.procedure)
+        print(json.dumps(
+            {k: (v if not isinstance(v, dict) else "…")
+             for k, v in metrics.items()}, indent=1, default=str))
+        tester.compute_and_save_postop_mesh_colourmap(args.mesh, args.mesh2)
+    elif exp == "fit":
+        assert args.mesh and args.landmarks, "--mesh + --landmarks required"
+        result = tester.fit_mesh(args.mesh, args.landmarks)
+        print({k: v for k, v in result.items()
+               if not hasattr(v, "shape") or v.size < 10})
+    else:
+        raise SystemExit(f"unknown experiment {exp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Renderer and colormap tests (small meshes, CPU platform)."""
+
+import numpy as np
+
+
+def _sphere():
+    from craniofacialsd_vae_tpu.geometry.synthetic import octasphere
+    return octasphere(2)
+
+
+class TestRenderer:
+    def test_renders_nonempty_image(self):
+        from craniofacialsd_vae_tpu.viz.renderer import render_mesh
+
+        verts, faces = _sphere()
+        img = render_mesh(verts, faces, image_size=64)
+        assert img.shape == (64, 64, 3)
+        # the unit sphere seen from dist 2.5 covers a real chunk of pixels
+        coverage = (img.sum(axis=-1) > 0).mean()
+        assert 0.1 < coverage < 0.9
+        assert img.max() <= 1.0 and img.min() >= 0.0
+
+    def test_shadeless_uses_raw_colors(self):
+        from craniofacialsd_vae_tpu.viz.renderer import render_mesh
+
+        verts, faces = _sphere()
+        colors = np.tile([1.0, 0.0, 0.0], (len(verts), 1))
+        img = render_mesh(verts, faces, colors, image_size=64,
+                          shadeless=True)
+        hit = img[img.sum(axis=-1) > 0]
+        np.testing.assert_allclose(hit[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(hit[:, 1], 0.0, atol=1e-5)
+
+    def test_batch_render_matches_single(self):
+        from craniofacialsd_vae_tpu.viz.renderer import (render_batch,
+                                                         render_mesh)
+
+        verts, faces = _sphere()
+        batch = np.stack([verts, verts * 0.9])
+        imgs = render_batch(batch, faces, image_size=64, max_vmap=2)
+        single = render_mesh(verts, faces, image_size=64)
+        np.testing.assert_allclose(imgs[0], single, atol=1e-5)
+
+    def test_batch_render_partial_subbatch(self):
+        from craniofacialsd_vae_tpu.viz.renderer import render_batch
+
+        verts, faces = _sphere()
+        batch = np.stack([verts] * 5)        # 5 % max_vmap(4) != 0
+        imgs = render_batch(batch, faces, image_size=32, max_vmap=4)
+        assert imgs.shape == (5, 32, 32, 3)
+        np.testing.assert_allclose(imgs[4], imgs[0], atol=1e-5)
+
+    def test_image_grid(self):
+        from craniofacialsd_vae_tpu.viz.renderer import make_image_grid
+
+        imgs = np.random.default_rng(0).random((6, 8, 8, 3)).astype(
+            np.float32)
+        grid = make_image_grid(imgs, nrow=3, padding=2)
+        assert grid.shape == (2 * (8 + 2) + 2, 3 * (8 + 2) + 2, 3)
+
+
+class TestColors:
+    def test_errors_to_colors(self):
+        from craniofacialsd_vae_tpu.viz.colors import errors_to_colors
+
+        vals = np.linspace(0, 5, 10)
+        cols = errors_to_colors(vals, 0, 5, "plasma")
+        assert cols.shape == (10, 3) and cols.dtype == np.uint8
+        assert not np.array_equal(cols[0], cols[-1])

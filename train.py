@@ -76,6 +76,7 @@ def main():
     val_iter = BatchIterator(val_set, batch_size, shuffle=True,
                              class2idx=manager._class2idx_dict)
 
+    vis_batch = next(iter(train_iter))
     start_epoch = manager.resume(checkpoint_dir) if args.resume else 0
     epochs = config["optimization"]["epochs"]
     log_freq = config["logging_frequency"]
@@ -89,6 +90,9 @@ def main():
         manager.run_epoch(val_iter, train=False)
         manager.log_losses(writer, epoch, "validation")
 
+        if (epoch + 1) % log_freq["tb_renderings"] == 0:
+            manager.log_images(vis_batch, writer, epoch, normalization,
+                               "train", error_max_scale=2)
         if (epoch + 1) % log_freq["save_weights"] == 0:
             manager.save_weights(checkpoint_dir, epoch)
         if (epoch + 1) % max(epochs // 10, 1) == 0:
