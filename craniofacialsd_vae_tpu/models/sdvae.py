@@ -54,6 +54,9 @@ class SDVAEConfig:
     latent_size: int = 75
     is_vae: bool = True
     pre_z_sigmoid: bool = False
+    # activations dtype through the conv/pool stack; params and losses stay
+    # float32. bfloat16 halves the gather bandwidth that dominates the step.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_dict(cls, model_cfg: dict, kl_weight: float) -> "SDVAEConfig":
@@ -63,7 +66,13 @@ class SDVAEConfig:
             latent_size=model_cfg["latent_size"],
             is_vae=kl_weight > 0,
             pre_z_sigmoid=model_cfg.get("pre_z_sigmoid", False),
+            compute_dtype=model_cfg.get("compute_dtype", "float32"),
         )
+
+    @property
+    def activation_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" \
+            else jnp.float32
 
 
 @jax.tree_util.register_pytree_node_class
@@ -167,7 +176,7 @@ def init_sdvae(key, config: SDVAEConfig, geom: SpiralGeometry) -> dict:
 def encode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
            x: jnp.ndarray):
     """Vertex-major [N, B, 3] → (mu [B, Z], logvar [B, Z] | None)."""
-    h = x
+    h = x.astype(config.activation_dtype)
     for i, conv_p in enumerate(params["en_convs"]):
         h = spiral_conv(conv_p, h, geom.spirals[i])
         h = jax.nn.elu(h)
@@ -175,6 +184,7 @@ def encode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
     # [num_vert, B, C] → [B, num_vert*C], vertex-major flatten order matches
     # the reference's [B, N, C] flatten for weight-layout parity
     h = jnp.swapaxes(h, 0, 1).reshape(h.shape[1], -1)
+    h = h.astype(jnp.float32)          # latent heads in full precision
     mu = h @ params["mu"]["w"] + params["mu"]["b"]
     if config.is_vae:
         logvar = h @ params["logvar"]["w"] + params["logvar"]["b"]
@@ -192,12 +202,14 @@ def decode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
     h = z @ params["de_dense"]["w"] + params["de_dense"]["b"]
     h = h.reshape(z.shape[0], num_vert, -1)         # [B, num_vert, C]
     h = jnp.swapaxes(h, 0, 1)                       # vertex-major
+    h = h.astype(config.activation_dtype)
     for j, conv_p in enumerate(params["de_convs"]):
         level = n_levels - 1 - j
         h = pool(h, geom.up[level])
         h = spiral_conv(conv_p, h, geom.spirals[level])
         h = jax.nn.elu(h)
-    return spiral_conv(params["final_conv"], h, geom.spirals[0])
+    out = spiral_conv(params["final_conv"], h, geom.spirals[0])
+    return out.astype(jnp.float32)
 
 
 def reparameterize(key, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:

@@ -73,8 +73,12 @@ def spiral_gather(x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
 
 
 def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
-    """Vertex-major spiral conv: [N, ..., C_in] → [N, ..., C_out]."""
-    w, b = params["w"], params["b"]
+    """Vertex-major spiral conv: [N, ..., C_in] → [N, ..., C_out].
+
+    Computes in x.dtype (params are cast), so bfloat16 activations keep the
+    whole gather+matmul chain in half precision."""
+    w = params["w"].astype(x.dtype)
+    b = params["b"].astype(x.dtype)
     l = op.seq_length
     c_in = x.shape[-1]
     w_l = w.reshape(l, c_in, w.shape[-1])

@@ -18,7 +18,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.sdvae import SDVAEConfig
 from ..training.trainer import LossWeights, make_train_step
@@ -51,7 +51,7 @@ def make_parallel_train_step(config: SDVAEConfig, weights: LossWeights,
                   sharded if clf_optimizer is not None else rep,
                   rep, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0,))
 
@@ -76,6 +76,6 @@ def make_parallel_eval_step(config: SDVAEConfig, weights: LossWeights,
         in_specs=(rep, rep, sharded,
                   sharded if with_labels else rep, rep, rep),
         out_specs=rep,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)

@@ -1,0 +1,119 @@
+"""Vertex-dimension sharding: the halo-exchange forward must match the
+unsharded model exactly, on an 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from craniofacialsd_vae_tpu.geometry import precompute_geometry
+    from craniofacialsd_vae_tpu.geometry.synthetic import synthetic_template
+    from craniofacialsd_vae_tpu.models import (SDVAEConfig, SpiralGeometry,
+                                               init_sdvae)
+
+    template = synthetic_template(subdivisions=3, n_regions=5)
+    bundle = precompute_geometry(template, [2, 2], [5, 5], [1, 1])
+    geom = SpiralGeometry.from_bundle(bundle)
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=10)
+    params = init_sdvae(jax.random.PRNGKey(0), config, geom)
+    return template, bundle, geom, config, params
+
+
+class TestGatherPlan:
+    def test_sharded_gather_matches_take(self, setup):
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, GatherPlan, apply_gather)
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+
+        template, *_ = setup
+        n = template.num_vertices
+        d = 8
+        rng = np.random.default_rng(0)
+        shard = -(-n // d)
+        idx = rng.integers(0, n, size=shard * d)
+        plan = GatherPlan.build(idx, n, d)
+        tables = plan.tables()
+
+        x = rng.normal(size=(shard * d, 3)).astype(np.float32)
+        x[n:] = 0.0
+        mesh = Mesh(np.array(jax.devices()[:d]), (VERTEX_AXIS,))
+
+        out = shard_map(
+            lambda t, x: apply_gather(t, x), mesh=mesh,
+            in_specs=(P(VERTEX_AXIS), P(VERTEX_AXIS)),
+            out_specs=P(VERTEX_AXIS), check_vma=False)(tables,
+                                                       jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), x[idx], rtol=1e-6)
+
+    def test_gather_plan_gradients(self, setup):
+        """d(gather)/dx must flow through all_to_all correctly."""
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, GatherPlan, apply_gather)
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+
+        template, *_ = setup
+        n = template.num_vertices
+        d = 4
+        shard = -(-n // d)
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, n, size=shard * d)
+        tables = GatherPlan.build(idx, n, d).tables()
+        x = rng.normal(size=(shard * d, 2)).astype(np.float32)
+        w = rng.normal(size=(shard * d, 2)).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:d]), (VERTEX_AXIS,))
+
+        def loss(x):
+            def dev(t, x, w):
+                out = apply_gather(t, x)
+                return jax.lax.psum(jnp.sum(out * w), VERTEX_AXIS)
+
+            return shard_map(dev, mesh=mesh,
+                             in_specs=(P(VERTEX_AXIS), P(VERTEX_AXIS),
+                                       P(VERTEX_AXIS)),
+                             out_specs=P(), check_vma=False)(
+                                 tables, x, jnp.asarray(w))
+
+        g = jax.grad(loss)(jnp.asarray(x))
+        ref = np.zeros_like(x)
+        np.add.at(ref, idx, w)
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5,
+                                   atol=1e-6)
+
+
+class TestVertexShardedForward:
+    def test_matches_unsharded(self, setup):
+        from craniofacialsd_vae_tpu.models import forward
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b = 3
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(n, b, 3)).astype(np.float32)
+
+        out_ref, z_ref, mu_ref, logvar_ref = forward(
+            params, geom, config, jnp.asarray(x))
+
+        d = 8
+        mesh = Mesh(np.array(jax.devices()[:d]), (VERTEX_AXIS,))
+        model = VertexShardedModel(bundle, config, mesh)
+        fwd = model.make_forward()
+        x_sharded = model.shard_vertices(x)
+        out, mu, logvar = fwd(params, jnp.asarray(x_sharded))
+
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logvar),
+                                   np.asarray(logvar_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out)[:n],
+                                   np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
