@@ -115,10 +115,13 @@ def find_filenames(root: str, data_to_use: list | None,
                    find_augmented: bool = True) -> list:
     files = []
     for dirpath, _, fnames in os.walk(root):
+        # match the 'augmented' subdirectory by name, not substring — a
+        # dataset path that merely contains "aug" must not be excluded
+        in_aug_dir = os.path.basename(dirpath) == "augmented"
         for f in sorted(fnames):
             if not (f.endswith(".ply") or f.endswith(".obj")):
                 continue
-            if "aug" not in dirpath:
+            if not in_aug_dir:
                 if data_to_use is None or f[:-4] in data_to_use:
                     files.append(f)
             elif find_augmented:
@@ -132,10 +135,21 @@ def split_files(all_files: list, stratified: bool, seed: int = 0):
     if stratified:
         from sklearn.model_selection import train_test_split
         y = [name[0] for name in all_files]
-        train, rest, _, rest_y = train_test_split(
-            all_files, y, stratify=y, test_size=0.2, random_state=seed)
-        test, val, _, _ = train_test_split(
-            rest, rest_y, stratify=rest_y, test_size=0.5, random_state=seed)
+        try:
+            train, rest, _, rest_y = train_test_split(
+                all_files, y, stratify=y, test_size=0.2, random_state=seed)
+            test, val, _, _ = train_test_split(
+                rest, rest_y, stratify=rest_y, test_size=0.5,
+                random_state=seed)
+        except ValueError:
+            # too few samples per class to stratify both sub-splits —
+            # degrade to a random (non-stratified) 80/10/10
+            print("[dataset] dataset too small to stratify; using random "
+                  "split")
+            train, rest = train_test_split(all_files, test_size=0.2,
+                                           random_state=seed)
+            test, val = train_test_split(rest, test_size=0.5,
+                                         random_state=seed)
         return train, test, val
     train, test, val = [], [], []
     for i, fname in enumerate(all_files):
@@ -237,7 +251,7 @@ def _load_split_arrays(root, names, summary, mean, std, normalize,
             os.path.basename(name)[:-4])
         ages.append(age)
         genders.append(gender)
-        augs.append("aug" in name)
+        augs.append(name.replace(os.sep, "/").startswith("augmented/"))
     arrays = MeshArrays(
         x=np.stack(xs) if xs else np.zeros((0, 0, 3), np.float32),
         y=ys, age=np.asarray(ages, np.float32), gender=genders,

@@ -79,6 +79,17 @@ def main():
         print(json.dumps(tester.test_classifiers(), indent=1))
     elif exp == "recon":
         print(json.dumps(tester.reconstruction_errors(), indent=1))
+    elif exp == "interpolate":
+        # reference semantics (test.py:544-567): first test mesh vs the most
+        # different test mesh
+        import numpy as np
+        x0 = test_set.x[0] * normalization["std"] + normalization["mean"]
+        dists = [float(np.mean((test_set.x[0] - test_set.x[i]) ** 2))
+                 for i in range(len(test_set))]
+        x1 = test_set.x[int(np.argmax(dists))] * normalization["std"] + \
+            normalization["mean"]
+        tester.interpolate(x0, x1)
+        print("interpolations written")
     elif exp == "planning":
         assert args.mesh, "--mesh required"
         out = tester.interpolate_syndrome_to_normal(args.mesh)

@@ -29,6 +29,9 @@ def main():
                         help="shard the batch over all visible devices")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override optimization.epochs")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of epoch 1 into "
+                             "outputs/<id>/profile")
     args = parser.parse_args()
 
     from craniofacialsd_vae_tpu.utils import (get_config, prepare_sub_folder,
@@ -84,11 +87,22 @@ def main():
     print(f"training {model_name}: {len(train_set)} train / "
           f"{len(val_set)} val meshes, epochs {start_epoch}→{epochs}")
     t0 = time.time()
+    grid = batch_size ** 2 if config["data"].get("swap_features") \
+        else batch_size
     for epoch in range(start_epoch, epochs):
+        if args.profile and epoch == start_epoch + 1:
+            jax.profiler.start_trace(os.path.join(output_dir, "profile"))
+        te = time.time()
         manager.run_epoch(train_iter, train=True)
+        steps = len(train_iter)
+        writer.add_scalar("perf/meshes_per_sec",
+                          steps * grid / max(time.time() - te, 1e-9),
+                          epoch + 1)
         manager.log_losses(writer, epoch, "train")
         manager.run_epoch(val_iter, train=False)
         manager.log_losses(writer, epoch, "validation")
+        if args.profile and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
 
         if (epoch + 1) % log_freq["tb_renderings"] == 0:
             manager.log_images(vis_batch, writer, epoch, normalization,
