@@ -52,6 +52,18 @@ class QDAClassifier:
         self.priors = np.asarray(priors)
         return self
 
+    @staticmethod
+    def _solve_cov(cov: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        """Solve cov @ x = rhs, falling back to the pseudo-inverse when the
+        class covariance is rank-deficient (fewer samples than dims)."""
+        try:
+            sol = np.linalg.solve(cov, rhs)
+            if np.isfinite(sol).all():
+                return sol
+        except np.linalg.LinAlgError:
+            pass
+        return np.linalg.pinv(cov) @ rhs
+
     def log_posteriors(self, x: np.ndarray) -> np.ndarray:
         x = np.atleast_2d(x)
         out = np.empty((len(x), len(self.classes)))
@@ -59,7 +71,10 @@ class QDAClassifier:
             diff = x - self.means[i]
             cov = self.covs[i]
             sign, logdet = np.linalg.slogdet(cov)
-            sol = np.linalg.solve(cov, diff.T).T
+            if sign <= 0:   # rank-deficient: use pseudo-determinant
+                ev = np.linalg.eigvalsh(cov)
+                logdet = float(np.sum(np.log(ev[ev > 1e-12])))
+            sol = self._solve_cov(cov, diff.T).T
             maha = np.einsum("nd,nd->n", diff, sol)
             out[:, i] = -0.5 * (logdet + maha) + np.log(self.priors[i])
         return out
@@ -87,8 +102,8 @@ class QDAClassifier:
         (reference mm.py:516-529)."""
         i = int(np.where(self.classes == class_idx)[0][0])
         diff = np.asarray(z).reshape(-1) - self.means[i]
-        sol = np.linalg.solve(self.covs[i], diff)
-        return float(np.sqrt(diff @ sol))
+        sol = self._solve_cov(self.covs[i], diff)
+        return float(np.sqrt(max(diff @ sol, 0.0)))
 
     @classmethod
     def from_sklearn(cls, skl) -> "QDAClassifier":

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..analysis.classifiers import QDAClassifier
 from ..geometry.mesh_io import read_mesh, write_ply
 from ..geometry.template import COLOUR2ATTRIBUTE, PROCEDURES2ATTRIBUTES
 from ..viz.renderer import make_image_grid
@@ -658,7 +659,7 @@ class Tester:
 
         def neg_logpdf(z):
             diff = z - mean_h
-            maha2 = diff @ np.linalg.solve(cov_h, diff)
+            maha2 = diff @ QDAClassifier._solve_cov(cov_h, diff)
             return const + 0.5 * maha2
 
         # reference distribution: centered, diagonalized covariance; the
@@ -793,7 +794,7 @@ class Tester:
         n_label = mgr.class2idx("n")
         d_pre = zoo.mahalanobis(z_pre, n_label)
         d_post = zoo.mahalanobis(z_post, n_label)
-        metric_global = (d_pre - d_post) / d_post
+        metric_global = (d_pre - d_post) / max(d_post, 1e-9)
 
         qda = zoo.qda
         i = int(np.where(qda.classes == n_label)[0][0])
@@ -801,7 +802,7 @@ class Tester:
         cov_h = qda.covs[i]
         d_pre_l2 = float(np.linalg.norm(z_pre[0] - mean_h))
         d_post_l2 = float(np.linalg.norm(z_post[0] - mean_h))
-        metric_global_l2 = (d_pre_l2 - d_post_l2) / d_post_l2
+        metric_global_l2 = (d_pre_l2 - d_post_l2) / max(d_post_l2, 1e-9)
 
         displacement = z_post[0] - z_pre[0]
         ideal = mean_h - z_pre[0]
@@ -809,8 +810,9 @@ class Tester:
             displacement @ ideal /
             (np.linalg.norm(displacement) * np.linalg.norm(ideal) + 1e-12))
         diff = z_post[0] - z_pre[0]
-        length_maha = float(np.sqrt(diff @ np.linalg.solve(cov_h, diff)))
-        metric_global_dir = length_maha * cos_angle / d_post
+        length_maha = float(np.sqrt(max(
+            diff @ qda._solve_cov(cov_h, diff), 0.0)))
+        metric_global_dir = length_maha * cos_angle / max(d_post, 1e-9)
 
         # procedure metric, weighted by per-region QDA accuracy if the
         # classifier test suite ran
@@ -831,7 +833,8 @@ class Tester:
             d_post_r = zoo.mahalanobis(z_post[0, lo:hi], n_label,
                                        region=key)
             w = region_reports[key]["accuracy"] if region_reports else 1.0
-            metric_regions += w * ((d_pre_r - d_post_r) / d_post_r)
+            metric_regions += w * ((d_pre_r - d_post_r) /
+                                   max(d_post_r, 1e-9))
 
             rq = zoo.region_qdas[key]
             j = int(np.where(rq.classes == n_label)[0][0])
@@ -841,10 +844,12 @@ class Tester:
             cos_r = float(disp @ ideal_r /
                           (np.linalg.norm(disp) * np.linalg.norm(ideal_r)
                            + 1e-12))
-            len_r = float(np.sqrt(disp @ np.linalg.solve(cov_r, disp)))
+            len_r = float(np.sqrt(max(
+                disp @ QDAClassifier._solve_cov(cov_r, disp), 0.0)))
             region_metrics[key] = {
-                "metric_distances": (d_pre_r - d_post_r) / d_post_r,
-                "metric_with_angle": len_r * cos_r / d_post_r,
+                "metric_distances": (d_pre_r - d_post_r) /
+                    max(d_post_r, 1e-9),
+                "metric_with_angle": len_r * cos_r / max(d_post_r, 1e-9),
             }
         metric_regions /= max(len(affected), 1)
 
