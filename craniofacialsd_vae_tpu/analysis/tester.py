@@ -788,6 +788,7 @@ class Tester:
         z_pre = self._load_and_encode(pre_path).reshape(1, -1)
         z_post = self._load_and_encode(post_path).reshape(1, -1)
 
+        self._project_pre_post_pair(z_pre, z_post, patient_id)
         pre_class = mgr.classify_latent(z_pre, "qda")
         post_class = mgr.classify_latent(z_post, "qda")
 
@@ -859,6 +860,37 @@ class Tester:
                 "global_metric_directional": metric_global_dir,
                 "procedure_metric": metric_regions,
                 "region_metrics": region_metrics}
+
+    def _project_pre_post_pair(self, z_pre, z_post, patient_id):
+        """Overlay the pre→post latent displacement as an arrow on the
+        pickled LDA embedding figure (reference test.py:1090-1157)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import pickle
+
+            from ..viz.plots import plot_2d_arrow
+
+            fig_path = os.path.join(self._out_dir,
+                                    "lda_emb_distributions.pkl")
+            if not os.path.exists(fig_path):
+                return
+            with open(fig_path, "rb") as f:
+                fig = pickle.load(f)
+            pre2d = self._manager.lda_project_latents_in_2d(z_pre)
+            post2d = self._manager.lda_project_latents_in_2d(z_post)
+            ax = fig.gca()
+            ax.scatter(pre2d[:, 0], pre2d[:, 1], c="#e881a7", s=12)
+            ax.scatter(post2d[:, 0], post2d[:, 1], c="#81a7e8", s=12)
+            plot_2d_arrow(pre2d[0], post2d[0], ax)
+            out_dir = os.path.join(self._out_dir, "pre_post_eval_plots")
+            os.makedirs(out_dir, exist_ok=True)
+            fig.savefig(os.path.join(out_dir,
+                                     f"{patient_id}_displacement.svg"))
+            plt.close(fig)
+        except Exception as e:
+            print(f"[tester] pre/post projection skipped: {e}")
 
     def evaluate_all_pre_post_pairs_in_excel(self, pairs_root,
                                              pairs_excel_path):

@@ -331,6 +331,14 @@ def build_datasets(config: dict, template, seed: int = 0):
     return train, val, test, normalization, class_weights
 
 
+def save_mean_mesh(normalization: dict, template, out_path: str):
+    """Export the training-set mean shape as a mesh (reference
+    data_loading.py:285-290)."""
+    from ..geometry.mesh_io import write_ply
+
+    write_ply(out_path, np.asarray(normalization["mean"]), template.face)
+
+
 class BatchIterator:
     """Host-side batcher: shuffled fixed-size numpy batches, drop_last
     (reference uses drop_last=True everywhere, data_loading.py:40-48)."""

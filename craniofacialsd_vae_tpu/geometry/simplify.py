@@ -370,7 +370,7 @@ def simplification_hierarchy(template, sampling_factors,
 
     Returns (low_res_templates, down_transforms, up_transforms).
     """
-    from .template import Template, template_from_mesh
+    from .template import template_from_mesh
     from .mesh_io import MeshData
 
     low_res, downs, ups = [], [], []

@@ -14,10 +14,9 @@ replicas.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.sdvae import SDVAEConfig

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 import re
 
-import jax
 from flax import serialization
 
 __all__ = ["save_checkpoint", "latest_checkpoint", "resume_checkpoint"]
