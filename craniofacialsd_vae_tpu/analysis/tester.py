@@ -665,7 +665,6 @@ class Tester:
         # reference distribution: centered, diagonalized covariance; the
         # k-std point lies at k·sqrt(λ_max) wait — reference uses the first
         # eigenvalue axis (ascending order ⇒ smallest); kept identical.
-        ref_var = eigval[0]
         ref_logdet = float(np.sum(np.log(eigval)))
         ref_const = 0.5 * (d * np.log(2 * np.pi) + ref_logdet)
 

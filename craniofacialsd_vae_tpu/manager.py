@@ -231,6 +231,11 @@ class ModelManager:
         totals = None
         count = 0
         for batch in batch_iter:
+            if self.swap_features and \
+                    batch["x"].shape[0] != self.batch_size:
+                continue  # swap grid is compiled for a fixed batch size
+                # (reference uses drop_last=True everywhere,
+                # data_loading.py:40-48)
             self._step_counter += 1
             key = jax.random.fold_in(self._epoch_key, self._step_counter)
             x = jnp.asarray(batch["x"])

@@ -1,0 +1,117 @@
+"""ModelManager integration: the full orchestration cycle — geometry
+precompute, epochs, checkpointing, resume, encode_all, classifier zoo —
+on a tiny synthetic template (CPU platform)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from craniofacialsd_vae_tpu.geometry import write_obj, write_ply
+    from craniofacialsd_vae_tpu.geometry.synthetic import synthetic_template
+
+    root = tmp_path_factory.mktemp("ws")
+    tpl = synthetic_template(subdivisions=2, n_regions=3)
+    tpl_path = str(root / "template.ply")
+    write_ply(tpl_path, tpl.pos, tpl.face, tpl.colors)
+
+    mesh_dir = root / "meshes"
+    mesh_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for c in ["a", "c", "n"]:
+        for i in range(8):
+            verts = tpl.pos + rng.normal(scale=0.03, size=tpl.pos.shape) \
+                + (0.05 if c == "a" else -0.05 if c == "c" else 0.0)
+            write_obj(str(mesh_dir / f"{c}_{i}.obj"), verts, tpl.face)
+
+    config = {
+        "data": {
+            "template_path": tpl_path,
+            "dataset_path": str(mesh_dir),
+            "precomputed_path": str(root / "precomp"),
+            "normalize_data": True,
+            "to_mm_constant": 10.0,
+            "swap_features": True,
+            "stratified_split": True,
+            "augmentation_factor": 0,
+        },
+        "optimization": {
+            "epochs": 2, "batch_size": 2, "lr": 1e-3, "weight_decay": 0,
+            "laplacian_weight": 0.1, "kl_weight": 1e-4,
+            "latent_consistency_weight": 0.5,
+            "latent_consistency_eta1": 0.5, "latent_consistency_eta2": 0.5,
+        },
+        "model": {
+            "sampling": {"type": "basic", "sampling_factors": [2, 2]},
+            "spirals": {"length": [5, 5], "dilation": [1, 1]},
+            "in_channels": 3, "out_channels": [8, 16],
+            # divisible by the synthetic template's region count (3)
+            "latent_size": 6, "pre_z_sigmoid": False,
+        },
+        "classifier": {
+            "main_model_type": "qda", "mlp_training_type": "after",
+            "mlp_hidden_features": [8], "mlp_lr": 1e-3, "mlp_epochs": 3,
+        },
+        "logging_frequency": {"tb_renderings": 100, "save_weights": 1},
+    }
+    return root, config
+
+
+def test_full_cycle(workspace):
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+    from craniofacialsd_vae_tpu.viz.logging import JsonlWriter
+
+    root, config = workspace
+    manager = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+    train, val, test, norm, weights = build_datasets(
+        config, manager.template)
+    manager.set_class_conversions_and_weights(weights)
+
+    it = BatchIterator(train, 2, shuffle=True)
+    val_it = BatchIterator(val, 2, shuffle=False, drop_last=False)
+
+    losses1 = manager.run_epoch(it, train=True)
+    assert np.isfinite(losses1["tot"])
+    manager.run_epoch(it, train=True)
+    eval_losses = manager.run_epoch(val_it, train=False)
+    assert np.isfinite(eval_losses["reconstruction"])
+
+    # checkpoint → fresh manager → resume → identical encodings
+    ckpt_dir = str(root / "ckpt")
+    manager.save_weights(ckpt_dir, epoch=1)
+    x = train.x[:2]
+    z_before = np.asarray(manager.encode(x))
+
+    manager2 = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+    epoch = manager2.resume(ckpt_dir)
+    assert epoch == 2
+    z_after = np.asarray(manager2.encode(x))
+    np.testing.assert_allclose(z_before, z_after, rtol=1e-6)
+
+    # classifiers end to end
+    writer = JsonlWriter(str(root / "logs"))
+    accs = manager.train_and_validate_classifiers(
+        BatchIterator(train, 2, shuffle=False), val_it, writer, ckpt_dir)
+    assert set(accs) == {"mlp", "svm", "lda", "qda"}
+    assert os.path.exists(os.path.join(ckpt_dir, "classifiers.npz"))
+
+    # latent region map matches the template's surviving regions (tiny
+    # spheres can dissolve a thin all-contour band during extraction)
+    assert len(manager.latent_regions) == \
+        len(manager.template.region_names)
+    assert config["model"]["latent_size"] % \
+        len(manager.latent_regions) == 0
+    pred = manager.classify_latent(z_before, "qda")
+    assert all(p in ("a", "c", "n") for p in pred)
+
+    # rendering path (tiny image)
+    imgs = manager.render(np.asarray(manager.generate(z_before)),
+                          image_size=32)
+    assert imgs.shape == (2, 32, 32, 3)
