@@ -1,0 +1,64 @@
+"""Distance ops vs numpy/scipy oracles."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+class TestNearest:
+    def test_matches_brute_force(self):
+        from craniofacialsd_vae_tpu.ops.distances import nearest_dists_sq
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(100, 3)).astype(np.float32)
+        y = rng.normal(size=(137, 3)).astype(np.float32)
+        d2 = np.asarray(nearest_dists_sq(jnp.asarray(x), jnp.asarray(y),
+                                         chunk=32))
+        ref = ((x[:, None] - y[None]) ** 2).sum(-1).min(axis=1)
+        np.testing.assert_allclose(d2, ref, rtol=1e-5)
+
+
+class TestChamfer:
+    def test_zero_for_identical(self):
+        from craniofacialsd_vae_tpu.ops.distances import chamfer_distance
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
+        assert float(chamfer_distance(x, x)) < 1e-10
+
+    def test_symmetric_and_batched(self):
+        from craniofacialsd_vae_tpu.ops.distances import chamfer_distance
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 40, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 60, 3)).astype(np.float32))
+        d = chamfer_distance(x, y)
+        d_swap = chamfer_distance(y, x)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_swap),
+                                   rtol=1e-5)
+        assert d.shape == (2,)
+
+
+class TestPointMesh:
+    def test_zero_on_surface(self):
+        from craniofacialsd_vae_tpu.geometry.synthetic import octasphere
+        from craniofacialsd_vae_tpu.ops.distances import point_mesh_distance
+
+        verts, faces = octasphere(1)
+        # face centroids lie on the surface
+        pts = verts[faces].mean(axis=1)
+        d = point_mesh_distance(jnp.asarray(pts), verts, faces)
+        assert d < 1e-10
+
+
+class TestSinkhorn:
+    def test_zero_for_identical_clouds(self):
+        from craniofacialsd_vae_tpu.ops.distances import sinkhorn_divergence
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+        d_same = float(sinkhorn_divergence(x, x, epsilon=0.01))
+        y = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32) + 2.0)
+        d_diff = float(sinkhorn_divergence(x, y, epsilon=0.01))
+        assert d_same < 0.05
+        assert d_diff > 1.0  # clouds 2 units apart → OT cost ≈ ‖Δ‖² ≈ 12
