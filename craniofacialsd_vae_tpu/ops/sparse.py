@@ -100,12 +100,19 @@ def transpose_coo(coo):
 
 def ell_matmul_raw(cols: jnp.ndarray, vals: jnp.ndarray,
                    x: jnp.ndarray) -> jnp.ndarray:
-    """out[m] = Σ_k vals[m,k] · x[cols[m,k]] for vertex-major x [N, ...]."""
+    """out[m] = Σ_k vals[m,k] · x[cols[m,k]] for vertex-major x [N, ...].
+
+    Trailing dims are flattened to one packed minor axis around the gather:
+    XLA pads the minor dimension to 128 lanes, so gathering [N, B, C] rows
+    with C < 128 moves up to 4× phantom bytes (measured 3× slower than the
+    packed [N, B·C] form on v5e)."""
     m, k = cols.shape
-    g = jnp.take(x, cols.reshape(-1), axis=0)           # [M*K, ...]
-    g = g.reshape(m, k, *x.shape[1:])
-    v = vals.astype(x.dtype).reshape(m, k, *([1] * (x.ndim - 1)))
-    return jnp.sum(g * v, axis=1)
+    trailing = x.shape[1:]
+    x2 = x.reshape(x.shape[0], -1)
+    g = jnp.take(x2, cols.reshape(-1), axis=0)          # [M*K, BC]
+    g = g.reshape(m, k, x2.shape[1])
+    out = jnp.einsum("mkc,mk->mc", g, vals.astype(x.dtype))
+    return out.reshape(m, *trailing)
 
 
 @jax.custom_vjp
@@ -165,14 +172,21 @@ def gather_op_from_idx(idx: np.ndarray, n_rows: int) -> GatherRows:
                       t_vals=jnp.asarray(t_vals), n_rows=n_rows)
 
 
+def _take_rows_packed(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather on the lane-packed 2D view (see ell_matmul_raw)."""
+    trailing = x.shape[1:]
+    g = jnp.take(x.reshape(x.shape[0], -1), idx, axis=0)
+    return g.reshape(idx.shape[0], *trailing)
+
+
 @jax.custom_vjp
 def gather_rows(op: GatherRows, x: jnp.ndarray) -> jnp.ndarray:
     """x [N, ...] → x[idx] [M, ...] with gather-only backward."""
-    return jnp.take(x, op.idx, axis=0)
+    return _take_rows_packed(x, op.idx)
 
 
 def _gather_rows_fwd(op, x):
-    return jnp.take(x, op.idx, axis=0), op
+    return _take_rows_packed(x, op.idx), op
 
 
 def _gather_rows_bwd(op, dy):
