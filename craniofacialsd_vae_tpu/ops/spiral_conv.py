@@ -31,16 +31,25 @@ __all__ = ["SpiralOp", "build_spiral_op", "spiral_conv", "init_spiral_conv",
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SpiralOp:
-    """Per-level spiral structure: one GatherRows per spiral position."""
+    """Per-level spiral structure: one GatherRows per spiral position, plus
+    a combined transpose over the flat (l, n) index space for the backward.
+
+    The combined table matters: per-position transposes pad to K_l each
+    (Σ K_l ≈ 44 rows/vertex on the craniofacial template) while one table
+    over all positions pads to the true in-degree (K ≈ 16) — ~2.5× less
+    transpose gather traffic."""
     gathers: list               # L × GatherRows
+    inv_cols: jnp.ndarray       # [N, K] flat l-major positions (l·N + n)
+    inv_vals: jnp.ndarray       # [N, K] {0,1} mask
     seq_length: int
 
     def tree_flatten(self):
-        return (self.gathers,), (self.seq_length,)
+        return (self.gathers, self.inv_cols, self.inv_vals), \
+            (self.seq_length,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        return cls(children[0], children[1], children[2], aux[0])
 
     @property
     def num_vertices(self):
@@ -48,11 +57,21 @@ class SpiralOp:
 
 
 def build_spiral_op(spirals: np.ndarray) -> SpiralOp:
-    """Host-side: [N, L] spiral table → L gather operators w/ transposes."""
+    """Host-side: [N, L] spiral table → L gather operators + combined
+    transpose."""
+    from .sparse import _pad_rows
+
     spirals = np.asarray(spirals)
     n, l = spirals.shape
+    # combined transpose: vertex m ← flat positions p = l·N + n where
+    # spirals[n, l] == m
+    targets = spirals.T.reshape(-1)                    # l-major [L*N]
+    positions = np.arange(l * n)
+    inv_cols, inv_vals = _pad_rows(targets, positions,
+                                   np.ones(l * n), n)
     return SpiralOp(
         gathers=[gather_op_from_idx(spirals[:, i], n) for i in range(l)],
+        inv_cols=jnp.asarray(inv_cols), inv_vals=jnp.asarray(inv_vals),
         seq_length=l)
 
 
@@ -73,16 +92,46 @@ def spiral_gather(x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
 
 
 def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
-    """Vertex-major spiral conv: [N, ..., C_in] → [N, ..., C_out].
+    """Vertex-major spiral conv: [N, B, C_in] → [N, B, C_out].
 
     Computes in x.dtype (params are cast), so bfloat16 activations keep the
-    whole gather+matmul chain in half precision."""
+    whole gather+matmul chain in half precision. Custom VJP: dx flows
+    through the combined transpose table (one K≈16 gather instead of nine
+    K_l gathers), dW recomputes the forward gathers."""
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
-    l = op.seq_length
-    c_in = x.shape[-1]
-    w_l = w.reshape(l, c_in, w.shape[-1])
+    w_l = w.reshape(op.seq_length, x.shape[-1], w.shape[-1])
+    return _spiral_conv_core(w_l, b, x, op)
+
+
+@jax.custom_vjp
+def _spiral_conv_core(w_l, b, x, op: SpiralOp):
     out = b
     for i, g in enumerate(op.gathers):
         out = out + gather_rows(g, x) @ w_l[i]
     return out
+
+
+def _score_fwd(w_l, b, x, op):
+    return _spiral_conv_core(w_l, b, x, op), (w_l, x, op)
+
+
+def _score_bwd(res, dy):
+    from .sparse import ell_matmul_raw
+
+    w_l, x, op = res
+    l, n = op.seq_length, x.shape[0]
+    # dx: scatter of dy @ W_lᵀ over the spiral structure = one combined
+    # gather. dg laid out l-major to match inv_cols' flat positions.
+    dg = jnp.einsum("nbo,lco->lnbc", dy, w_l)          # [L, N, B, C]
+    dx = ell_matmul_raw(op.inv_cols, op.inv_vals,
+                        dg.reshape(l * n, *dg.shape[2:]))
+    # dW: recompute the cheap forward gathers instead of saving residuals
+    dw_l = jnp.stack([
+        jnp.einsum("nbc,nbo->co", gather_rows(g, x), dy)
+        for g in op.gathers])
+    db = jnp.sum(dy, axis=tuple(range(dy.ndim - 1)))
+    return dw_l, db, dx, None
+
+
+_spiral_conv_core.defvjp(_score_fwd, _score_bwd)
