@@ -110,16 +110,23 @@ class GatherPlan:
 
 def apply_gather(tables: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Inside shard_map: tables have a leading [1] device slice; x is this
-    device's [S_in, ...] block. Returns [S_out, ...]."""
+    device's [S_in, ...] block. Returns [S_out, ...].
+
+    Gathers run on the lane-packed 2D view (trailing dims flattened) — XLA
+    pads the minor dim to 128 lanes, so thin-channel rows would otherwise
+    move up to 4× phantom bytes (see ops/sparse.py)."""
     send_idx = tables["send"][0]                     # [D, K]
     local_idx = tables["local"][0]                   # [S_out]
-    to_send = jnp.take(x, send_idx.reshape(-1), axis=0)
-    to_send = to_send.reshape(*send_idx.shape, *x.shape[1:])
+    trailing = x.shape[1:]
+    x2 = x.reshape(x.shape[0], -1)
+    to_send = jnp.take(x2, send_idx.reshape(-1), axis=0)
+    to_send = to_send.reshape(*send_idx.shape, x2.shape[1])
     recv = jax.lax.all_to_all(to_send, VERTEX_AXIS, split_axis=0,
                               concat_axis=0, tiled=False)
-    halo = recv.reshape(-1, *x.shape[1:])
-    x_ext = jnp.concatenate([x, halo], axis=0)
-    return jnp.take(x_ext, local_idx, axis=0)
+    halo = recv.reshape(-1, x2.shape[1])
+    x_ext = jnp.concatenate([x2, halo], axis=0)
+    return jnp.take(x_ext, local_idx, axis=0).reshape(
+        local_idx.shape[0], *trailing)
 
 
 class VertexShardedModel:
