@@ -39,39 +39,55 @@ class SpiralOp:
     over all positions pads to the true in-degree (K ≈ 16) — ~2.5× less
     transpose gather traffic."""
     gathers: list               # L × GatherRows
-    inv_cols: jnp.ndarray       # [N, K] flat l-major positions (l·N + n)
-    inv_vals: jnp.ndarray       # [N, K] {0,1} mask
+    inv_tables: list            # per column-group: ([N,K] cols, [N,K] mask)
+    group_slices: tuple         # per group: (l_start, l_end)
     seq_length: int
 
     def tree_flatten(self):
-        return (self.gathers, self.inv_cols, self.inv_vals), \
-            (self.seq_length,)
+        return (self.gathers, self.inv_tables), \
+            (self.group_slices, self.seq_length)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0])
+        return cls(children[0], children[1], aux[0], aux[1])
 
     @property
     def num_vertices(self):
         return self.gathers[0].idx.shape[0]
 
 
-def build_spiral_op(spirals: np.ndarray) -> SpiralOp:
+def build_spiral_op(spirals: np.ndarray,
+                    bwd_group_size: int | None = None) -> SpiralOp:
     """Host-side: [N, L] spiral table → L gather operators + combined
-    transpose."""
+    transpose tables for the backward.
+
+    bwd_group_size controls the dx-backward chunking: transpose tables are
+    built per group of spiral columns, bounding the materialized dy·Wᵀ
+    tensor to [group, N, B, C] at the cost of slightly more padded rows
+    (per-group in-degrees don't share padding). Default: one group (lowest
+    traffic) — pick 3 for very large batch×channel products.
+    """
     from .sparse import _pad_rows
 
     spirals = np.asarray(spirals)
     n, l = spirals.shape
-    # combined transpose: vertex m ← flat positions p = l·N + n where
-    # spirals[n, l] == m
-    targets = spirals.T.reshape(-1)                    # l-major [L*N]
-    positions = np.arange(l * n)
-    inv_cols, inv_vals = _pad_rows(targets, positions,
-                                   np.ones(l * n), n)
+    if bwd_group_size is None:
+        bwd_group_size = l
+
+    inv_tables = []
+    group_slices = []
+    for s in range(0, l, bwd_group_size):
+        e = min(s + bwd_group_size, l)
+        # vertex m ← flat positions p = (l_local)·N + n, l ∈ [s, e)
+        targets = spirals[:, s:e].T.reshape(-1)
+        positions = np.arange((e - s) * n)
+        cols, vals = _pad_rows(targets, positions,
+                               np.ones((e - s) * n), n)
+        inv_tables.append((jnp.asarray(cols), jnp.asarray(vals)))
+        group_slices.append((s, e))
     return SpiralOp(
         gathers=[gather_op_from_idx(spirals[:, i], n) for i in range(l)],
-        inv_cols=jnp.asarray(inv_cols), inv_vals=jnp.asarray(inv_vals),
+        inv_tables=inv_tables, group_slices=tuple(group_slices),
         seq_length=l)
 
 
@@ -120,12 +136,16 @@ def _score_bwd(res, dy):
     from .sparse import ell_matmul_raw
 
     w_l, x, op = res
-    l, n = op.seq_length, x.shape[0]
-    # dx: scatter of dy @ W_lᵀ over the spiral structure = one combined
-    # gather. dg laid out l-major to match inv_cols' flat positions.
-    dg = jnp.einsum("nbo,lco->lnbc", dy, w_l)          # [L, N, B, C]
-    dx = ell_matmul_raw(op.inv_cols, op.inv_vals,
-                        dg.reshape(l * n, *dg.shape[2:]))
+    n = x.shape[0]
+    # dx: scatter of dy @ W_lᵀ over the spiral structure = combined gathers,
+    # one per column group (bounds the materialized dg tensor). dg is laid
+    # out l-major within each group to match the tables' flat positions.
+    dx = None
+    for (cols, vals), (s, e) in zip(op.inv_tables, op.group_slices):
+        dg = jnp.einsum("nbo,lco->lnbc", dy, w_l[s:e])   # [g, N, B, C]
+        part = ell_matmul_raw(cols, vals,
+                              dg.reshape((e - s) * n, *dg.shape[2:]))
+        dx = part if dx is None else dx + part
     # dW: recompute the cheap forward gathers instead of saving residuals
     dw_l = jnp.stack([
         jnp.einsum("nbc,nbo->co", gather_rows(g, x), dy)
