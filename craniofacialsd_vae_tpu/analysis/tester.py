@@ -348,7 +348,10 @@ class Tester:
             prev = cur
         return float(np.concatenate(dists).mean()) if dists else 0.0
 
-    def compute_diversity(self, n_samples=10000, batch=20) -> float:
+    def compute_diversity(self, n_samples=10000, batch=100) -> float:
+        """Mean vertex distance between pairs of independently generated
+        meshes (reference test.py:325-334; batched larger here to amortize
+        dispatch — 10k samples in 50 device calls instead of 500)."""
         dists = []
         for i in range(n_samples // (2 * batch)):
             a = self.random_generation(batch, seed=2 * i)
@@ -897,7 +900,10 @@ class Tester:
         (reference test.py:906-970)."""
         import pandas as pd
 
-        pairs_df = pd.read_excel(pairs_excel_path)
+        if pairs_excel_path.endswith(".csv"):
+            pairs_df = pd.read_csv(pairs_excel_path)
+        else:
+            pairs_df = pd.read_excel(pairs_excel_path)
         out_dir = os.path.join(self._out_dir, "pre_post_eval_plots")
         os.makedirs(out_dir, exist_ok=True)
 

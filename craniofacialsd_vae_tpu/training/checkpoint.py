@@ -19,20 +19,36 @@ __all__ = ["save_checkpoint", "latest_checkpoint", "resume_checkpoint"]
 _MODEL_RE = re.compile(r"model_(\d{8})\.ckpt$")
 
 
-def save_checkpoint(checkpoint_dir: str, state, epoch: int) -> str:
-    """Write model_%08d.ckpt + optimizer.ckpt. `epoch` is 1-based like the
-    reference (save at epoch+1)."""
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via tmp+rename so a crash mid-write never corrupts the latest
+    checkpoint (the reference's torch.save can leave partial files)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def save_checkpoint(checkpoint_dir: str, state, epoch: int,
+                    keep_last: int | None = None) -> str:
+    """Write model_%08d.ckpt + optimizer.ckpt (atomically). `epoch` is
+    1-based like the reference (save at epoch+1). keep_last prunes older
+    model files, keeping the most recent N."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     model_path = os.path.join(checkpoint_dir, f"model_{epoch:08d}.ckpt")
-    with open(model_path, "wb") as f:
-        f.write(serialization.to_bytes(
-            {"params": state.params, "clf_params": state.clf_params}))
+    _atomic_write(model_path, serialization.to_bytes(
+        {"params": state.params, "clf_params": state.clf_params}))
     opt_path = os.path.join(checkpoint_dir, "optimizer.ckpt")
-    with open(opt_path, "wb") as f:
-        f.write(serialization.to_bytes(
-            {"opt_state": state.opt_state,
-             "clf_opt_state": state.clf_opt_state,
-             "epoch": epoch}))
+    _atomic_write(opt_path, serialization.to_bytes(
+        {"opt_state": state.opt_state,
+         "clf_opt_state": state.clf_opt_state,
+         "epoch": epoch}))
+    if keep_last is not None:
+        models = sorted(f for f in os.listdir(checkpoint_dir)
+                        if _MODEL_RE.search(f))
+        for old in models[:-keep_last]:
+            os.remove(os.path.join(checkpoint_dir, old))
     return model_path
 
 
