@@ -36,26 +36,23 @@ __all__ = ["PaddedRowSparse", "GatherRows", "from_coo", "gather_op_from_idx",
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PaddedRowSparse:
-    """ELL-format sparse matrix with its transpose:
+    """ELL-format sparse matrix with its (capped) transpose:
     out[m] = Σ_k vals[m, k] · x[cols[m, k]]."""
     cols: jnp.ndarray          # [M, K] int32
     vals: jnp.ndarray          # [M, K] float32
     n_cols: int                # logical source dimension
-    t_cols: jnp.ndarray = None   # [n_cols, K'] transpose structure
-    t_vals: jnp.ndarray = None
+    transpose: "CappedEll | None" = None
 
     @property
     def shape(self):
         return (self.cols.shape[0], self.n_cols)
 
     def tree_flatten(self):
-        return (self.cols, self.vals, self.t_cols, self.t_vals), \
-            (self.n_cols,)
+        return (self.cols, self.vals, self.transpose), (self.n_cols,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], children[2],
-                   children[3])
+        return cls(children[0], children[1], aux[0], children[2])
 
 
 def _pad_rows(rows, cols, vals, m):
@@ -72,22 +69,94 @@ def _pad_rows(rows, cols, vals, m):
     return pad_cols, pad_vals
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class CappedEll:
+    """ELL matrix with the per-row nnz capped; the tail of high-degree rows
+    lives in a small secondary ELL applied with a sparse row update.
+
+    Real mesh transposes have skewed in-degrees (the craniofacial
+    up-transform transpose: mean 12, max 95) — a plain ELL pads every row to
+    the max and moves ~8× phantom bytes. Capping at ~2× the mean keeps the
+    main gather dense while the few overflow rows cost one tiny gather +
+    one R-row scatter-add."""
+    cols: jnp.ndarray            # [M, K_cap]
+    vals: jnp.ndarray
+    o_rows: jnp.ndarray | None   # [R] rows with overflow
+    o_cols: jnp.ndarray | None   # [R, K_over]
+    o_vals: jnp.ndarray | None
+
+    def tree_flatten(self):
+        return (self.cols, self.vals, self.o_rows, self.o_cols,
+                self.o_vals), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = ell_matmul_raw(self.cols, self.vals, x)
+        if self.o_rows is not None:
+            extra = ell_matmul_raw(self.o_cols, self.o_vals, x)
+            out = out.at[self.o_rows].add(extra)
+        return out
+
+
+def capped_ell(rows, cols, vals, m, cap_factor: float = 2.0) -> CappedEll:
+    """Host-side: COO → CappedEll with K ≈ cap_factor × mean in-degree."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    counts = np.bincount(rows, minlength=m)
+    k_max = max(int(counts.max()) if len(counts) else 1, 1)
+    mean = max(float(counts.mean()), 1.0)
+    cap = min(max(int(np.ceil(cap_factor * mean)), 1), k_max)
+
+    if cap >= k_max:
+        pc, pv = _pad_rows(rows, cols, vals, m)
+        return CappedEll(jnp.asarray(pc), jnp.asarray(pv),
+                         None, None, None)
+
+    order = np.argsort(rows, kind="stable")
+    slot = np.zeros(m, dtype=np.int64)
+    main_r, main_c, main_v = [], [], []
+    over = {}
+    for r, c, v in zip(rows[order], cols[order], vals[order]):
+        if slot[r] < cap:
+            main_r.append(r)
+            main_c.append(c)
+            main_v.append(v)
+            slot[r] += 1
+        else:
+            over.setdefault(r, []).append((c, v))
+    pc, pv = _pad_rows(np.asarray(main_r), np.asarray(main_c),
+                       np.asarray(main_v), m)
+    o_rows = np.asarray(sorted(over.keys()), dtype=np.int32)
+    k_over = max(len(v) for v in over.values())
+    o_cols = np.zeros((len(o_rows), k_over), np.int32)
+    o_vals = np.zeros((len(o_rows), k_over), np.float32)
+    for i, r in enumerate(o_rows):
+        for j, (c, v) in enumerate(over[int(r)]):
+            o_cols[i, j] = c
+            o_vals[i, j] = v
+    return CappedEll(jnp.asarray(pc), jnp.asarray(pv),
+                     jnp.asarray(o_rows), jnp.asarray(o_cols),
+                     jnp.asarray(o_vals))
+
+
 def from_coo(rows, cols, vals, shape, with_transpose: bool = True
              ) -> PaddedRowSparse:
     """Convert COO arrays (host-side numpy) to padded layout, including the
-    transpose structure used by the gather-only backward pass."""
+    capped transpose structure used by the gather-only backward pass."""
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
     m, n = shape
     pad_cols, pad_vals = _pad_rows(rows, cols, vals, m)
-    t_cols = t_vals = None
-    if with_transpose:
-        t_cols, t_vals = _pad_rows(cols, rows, vals, n)
+    transpose = capped_ell(cols, rows, vals, n) if with_transpose else None
     return PaddedRowSparse(
         cols=jnp.asarray(pad_cols), vals=jnp.asarray(pad_vals), n_cols=n,
-        t_cols=None if t_cols is None else jnp.asarray(t_cols),
-        t_vals=None if t_vals is None else jnp.asarray(t_vals))
+        transpose=transpose)
 
 
 def transpose_coo(coo):
@@ -130,11 +199,10 @@ def _ell_fwd(mat, x):
 
 
 def _ell_bwd(mat, dy):
-    if mat.t_cols is None:
+    if mat.transpose is None:
         raise ValueError("ell_matmul backward requires transpose structure "
                          "(from_coo(with_transpose=True))")
-    dx = ell_matmul_raw(mat.t_cols, mat.t_vals, dy)
-    return None, dx
+    return None, mat.transpose.apply(dy)
 
 
 ell_matmul.defvjp(_ell_fwd, _ell_bwd)
@@ -143,33 +211,32 @@ ell_matmul.defvjp(_ell_fwd, _ell_bwd)
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class GatherRows:
-    """Pure row-gather operator out = x[idx] with precomputed transpose so
-    the backward pass is a masked gather-sum instead of an XLA scatter."""
-    idx: jnp.ndarray        # [M] int32
-    t_cols: jnp.ndarray     # [N, K] int32 — positions in idx hitting row n
-    t_vals: jnp.ndarray     # [N, K] float32 {0,1} mask
-    n_rows: int             # N (source dimension)
+    """Pure row-gather operator out = x[idx] with precomputed (capped)
+    transpose so the backward pass is a masked gather-sum instead of an
+    XLA scatter."""
+    idx: jnp.ndarray            # [M] int32
+    transpose: CappedEll        # over the source row space
+    n_rows: int                 # N (source dimension)
 
     @property
     def shape(self):
         return (self.idx.shape[0], self.n_rows)
 
     def tree_flatten(self):
-        return (self.idx, self.t_cols, self.t_vals), (self.n_rows,)
+        return (self.idx, self.transpose), (self.n_rows,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0])
+        return cls(children[0], children[1], aux[0])
 
 
 def gather_op_from_idx(idx: np.ndarray, n_rows: int) -> GatherRows:
     """Host-side: build a GatherRows op (and its transpose) from indices."""
     idx = np.asarray(idx, dtype=np.int64)
     m = len(idx)
-    t_cols, t_vals = _pad_rows(idx, np.arange(m), np.ones(m), n_rows)
+    transpose = capped_ell(idx, np.arange(m), np.ones(m), n_rows)
     return GatherRows(idx=jnp.asarray(idx.astype(np.int32)),
-                      t_cols=jnp.asarray(t_cols),
-                      t_vals=jnp.asarray(t_vals), n_rows=n_rows)
+                      transpose=transpose, n_rows=n_rows)
 
 
 def _take_rows_packed(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -190,7 +257,7 @@ def _gather_rows_fwd(op, x):
 
 
 def _gather_rows_bwd(op, dy):
-    return None, ell_matmul_raw(op.t_cols, op.t_vals, dy)
+    return None, op.transpose.apply(dy)
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

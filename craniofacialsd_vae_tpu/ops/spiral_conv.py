@@ -39,7 +39,7 @@ class SpiralOp:
     over all positions pads to the true in-degree (K ≈ 16) — ~2.5× less
     transpose gather traffic."""
     gathers: list               # L × GatherRows
-    inv_tables: list            # per column-group: ([N,K] cols, [N,K] mask)
+    inv_tables: list            # per column-group: CappedEll over vertices
     group_slices: tuple         # per group: (l_start, l_end)
     seq_length: int
 
@@ -67,7 +67,7 @@ def build_spiral_op(spirals: np.ndarray,
     (per-group in-degrees don't share padding). Default: one group (lowest
     traffic) — pick 3 for very large batch×channel products.
     """
-    from .sparse import _pad_rows
+    from .sparse import capped_ell
 
     spirals = np.asarray(spirals)
     n, l = spirals.shape
@@ -81,9 +81,8 @@ def build_spiral_op(spirals: np.ndarray,
         # vertex m ← flat positions p = (l_local)·N + n, l ∈ [s, e)
         targets = spirals[:, s:e].T.reshape(-1)
         positions = np.arange((e - s) * n)
-        cols, vals = _pad_rows(targets, positions,
-                               np.ones((e - s) * n), n)
-        inv_tables.append((jnp.asarray(cols), jnp.asarray(vals)))
+        inv_tables.append(capped_ell(targets, positions,
+                                     np.ones((e - s) * n), n))
         group_slices.append((s, e))
     return SpiralOp(
         gathers=[gather_op_from_idx(spirals[:, i], n) for i in range(l)],
@@ -133,18 +132,15 @@ def _score_fwd(w_l, b, x, op):
 
 
 def _score_bwd(res, dy):
-    from .sparse import ell_matmul_raw
-
     w_l, x, op = res
     n = x.shape[0]
     # dx: scatter of dy @ W_lᵀ over the spiral structure = combined gathers,
     # one per column group (bounds the materialized dg tensor). dg is laid
     # out l-major within each group to match the tables' flat positions.
     dx = None
-    for (cols, vals), (s, e) in zip(op.inv_tables, op.group_slices):
+    for table, (s, e) in zip(op.inv_tables, op.group_slices):
         dg = jnp.einsum("nbo,lco->lnbc", dy, w_l[s:e])   # [g, N, B, C]
-        part = ell_matmul_raw(cols, vals,
-                              dg.reshape((e - s) * n, *dg.shape[2:]))
+        part = table.apply(dg.reshape((e - s) * n, *dg.shape[2:]))
         dx = part if dx is None else dx + part
     # dW: recompute the cheap forward gathers instead of saving residuals
     dw_l = jnp.stack([
