@@ -130,9 +130,12 @@ class Tester:
                                                  train_iter)
         self.template_landmarks_idx = list(TEMPLATE_LANDMARKS_IDX)
         self._image_size = 256
+        self._background = 0.0
 
     # ------------------------------------------------------------------
     def __call__(self):
+        self.set_renderings_size(256)
+        self.set_rendering_background_color(1.0)
         self.latent_traversals(use_z_stats=False)
         self.plot_embeddings()
         self.random_generation_and_rendering(n_samples=16)
@@ -163,9 +166,16 @@ class Tester:
     def set_renderings_size(self, size: int):
         self._image_size = size
 
+    def set_rendering_background_color(self, color=1.0):
+        """Grayscale background level (reference sets white for the
+        standard suite, test.py:59-60, 89-93)."""
+        self._background = float(color if not isinstance(color, (list,
+                                 tuple)) else color[0])
+
     def _render(self, verts, errors=None, error_max_scale=None):
         return self._manager.render(verts, errors, error_max_scale,
-                                    image_size=self._image_size)
+                                    image_size=self._image_size,
+                                    background=self._background)
 
     def save_batch(self, batch_verts, out_dir, v_colours=None):
         os.makedirs(out_dir, exist_ok=True)

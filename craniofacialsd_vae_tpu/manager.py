@@ -267,7 +267,8 @@ class ModelManager:
     # ------------------------------------------------------------------
     # rendering (reference mm.py:616-658; pure-JAX rasterizer, host path)
     def render(self, batched_verts, vertex_errors=None,
-               error_max_scale=None, image_size: int = 256) -> np.ndarray:
+               error_max_scale=None, image_size: int = 256,
+               background: float = 0.0) -> np.ndarray:
         """[B, N, 3] → [B, H, W, 3] images; with vertex_errors, shadeless
         plasma colormap like the reference's error renders."""
         from .viz.colors import errors_to_colors
@@ -278,9 +279,10 @@ class ModelManager:
             cols = errors_to_colors(np.asarray(vertex_errors), 0,
                                     error_max_scale, "plasma") / 255.0
             return render_batch(verts, self.template.face, cols,
-                                image_size=image_size, shadeless=True)
+                                image_size=image_size, shadeless=True,
+                                background=background)
         return render_batch(verts, self.template.face,
-                            image_size=image_size)
+                            image_size=image_size, background=background)
 
     def log_images(self, batch, writer, epoch: int, normalization=None,
                    phase: str = "train", error_max_scale: float = 5.0,

@@ -159,9 +159,11 @@ def render_mesh(verts, faces, vertex_colors=None, image_size: int = 256,
     return np.clip(np.asarray(img), 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("image_size", "shadeless"))
+@partial(jax.jit, static_argnames=("image_size", "shadeless",
+                                   "background"))
 def _render_batch_jit(verts, faces, colors, eye, rot, light_pos,
-                      image_size: int, shadeless: bool):
+                      image_size: int, shadeless: bool,
+                      background: float = 0.0):
     """[B, N, 3] → [B, H, W, 3], fully vmapped on device."""
 
     def one(v, c):
@@ -173,7 +175,8 @@ def _render_batch_jit(verts, faces, colors, eye, rot, light_pos,
             diffuse = jnp.clip(jnp.sum(normals * light, axis=-1), 0.0, 1.0)
             c = c * (0.25 + 0.75 * diffuse)[:, None]
         v_cam = (v - eye) @ rot.T
-        return _rasterize(v_cam, faces, c, image_size=image_size)
+        return _rasterize(v_cam, faces, c, image_size=image_size,
+                          background=background)
 
     return jax.vmap(one)(verts, colors)
 
@@ -182,7 +185,7 @@ def render_batch(batched_verts, faces, vertex_colors=None,
                  image_size: int = 256, dist: float = 2.5,
                  elev: float = 0.0, azim: float = 15.0,
                  shadeless: bool = False, light_pos=(0.0, 0.0, 3.0),
-                 max_vmap: int = 4) -> np.ndarray:
+                 max_vmap: int = 4, background: float = 0.0) -> np.ndarray:
     """[B, N, 3] → [B, H, W, 3].
 
     vmapped on device in sub-batches of max_vmap — the rasterizer's
@@ -209,7 +212,7 @@ def render_batch(batched_verts, faces, vertex_colors=None,
         img = _render_batch_jit(jnp.asarray(sub_v), faces_j,
                                 jnp.asarray(sub_c), jnp.asarray(eye),
                                 jnp.asarray(rot), jnp.asarray(light_pos),
-                                image_size, shadeless)
+                                image_size, shadeless, background)
         out.append(np.asarray(img)[:max_vmap - pad if pad else max_vmap])
     return np.clip(np.concatenate(out), 0.0, 1.0)
 
