@@ -678,7 +678,8 @@ class Tester:
         # reference distribution: centered, diagonalized covariance; the
         # k-std point lies at k·sqrt(λ_max) wait — reference uses the first
         # eigenvalue axis (ascending order ⇒ smallest); kept identical.
-        ref_logdet = float(np.sum(np.log(eigval)))
+        # clip for rank-deficient covariances (tiny datasets)
+        ref_logdet = float(np.sum(np.log(np.maximum(eigval, 1e-12))))
         ref_const = 0.5 * (d * np.log(2 * np.pi) + ref_logdet)
 
         def ref_neg_logpdf_at_std(k):
