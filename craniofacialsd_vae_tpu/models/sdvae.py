@@ -84,10 +84,14 @@ class SpiralGeometry:
     up: list
     laplacian: Any = None         # PaddedRowSparse of the template Laplacian
     region_masks: Any = None      # [R, N] bool, template region order
+    enc_spirals: list = None      # SpiralOp per level, pre-composed with the
+                                  # down selection (conv evaluated only at
+                                  # surviving vertices — identical math,
+                                  # ~4× less encoder gather/matmul work)
 
     def tree_flatten(self):
         return ((self.spirals, self.down, self.up, self.laplacian,
-                 self.region_masks), None)
+                 self.region_masks, self.enc_spirals), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -96,6 +100,7 @@ class SpiralGeometry:
     @classmethod
     def from_bundle(cls, bundle, with_laplacian: bool = True) -> \
             "SpiralGeometry":
+        from ..ops.pool import selection_indices
         from ..ops.sparse import from_coo
 
         lap = None
@@ -106,12 +111,24 @@ class SpiralGeometry:
         masks = None
         if bundle.template.feat_and_cont:
             masks = jnp.asarray(bundle.template.region_masks())
+
+        # Encoder blocks end in a row selection (down matrices are pure
+        # selections): compose it into the conv's gather tables so the conv
+        # only ever evaluates the rows that survive pooling.
+        enc_spirals = []
+        for s, d in zip(bundle.spirals, bundle.down_transforms):
+            sel = selection_indices(d)
+            enc_spirals.append(
+                build_spiral_op(np.asarray(s)[sel], n_src=s.shape[0])
+                if sel is not None else None)
+
         return cls(
             spirals=[build_spiral_op(s) for s in bundle.spirals],
             down=[build_pool_operator(d) for d in bundle.down_transforms],
             up=[build_pool_operator(u) for u in bundle.up_transforms],
             laplacian=lap,
             region_masks=masks,
+            enc_spirals=enc_spirals,
         )
 
     @property
@@ -178,9 +195,15 @@ def encode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
     """Vertex-major [N, B, 3] → (mu [B, Z], logvar [B, Z] | None)."""
     h = x.astype(config.activation_dtype)
     for i, conv_p in enumerate(params["en_convs"]):
-        h = spiral_conv(conv_p, h, geom.spirals[i])
-        h = jax.nn.elu(h)
-        h = pool(h, geom.down[i])
+        # enblock = conv → ELU → down-select (reference model.py:58-70);
+        # selection commutes with the pointwise ELU, so when the composed
+        # table exists the conv runs only at the surviving vertices.
+        enc = geom.enc_spirals[i] if geom.enc_spirals else None
+        if enc is not None:
+            h = jax.nn.elu(spiral_conv(conv_p, h, enc))
+        else:
+            h = pool(jax.nn.elu(spiral_conv(conv_p, h, geom.spirals[i])),
+                     geom.down[i])
     # [num_vert, B, C] → [B, num_vert*C], vertex-major flatten order matches
     # the reference's [B, N, C] flatten for weight-layout parity
     h = jnp.swapaxes(h, 0, 1).reshape(h.shape[1], -1)

@@ -57,7 +57,8 @@ class SpiralOp:
 
 
 def build_spiral_op(spirals: np.ndarray,
-                    bwd_group_size: int | None = None) -> SpiralOp:
+                    bwd_group_size: int | None = None,
+                    n_src: int | None = None) -> SpiralOp:
     """Host-side: [N, L] spiral table → L gather operators + combined
     transpose tables for the backward.
 
@@ -70,7 +71,10 @@ def build_spiral_op(spirals: np.ndarray,
     from .sparse import capped_ell
 
     spirals = np.asarray(spirals)
-    n, l = spirals.shape
+    m, l = spirals.shape
+    # source vertex space; differs from the row count for composed tables
+    # (e.g. conv fused with a down-selection gathers N rows into M < N)
+    n = m if n_src is None else n_src
     if bwd_group_size is None:
         bwd_group_size = l
 
@@ -80,9 +84,9 @@ def build_spiral_op(spirals: np.ndarray,
         e = min(s + bwd_group_size, l)
         # vertex m ← flat positions p = (l_local)·N + n, l ∈ [s, e)
         targets = spirals[:, s:e].T.reshape(-1)
-        positions = np.arange((e - s) * n)
+        positions = np.arange((e - s) * m)
         inv_tables.append(capped_ell(targets, positions,
-                                     np.ones((e - s) * n), n))
+                                     np.ones((e - s) * m), n))
         group_slices.append((s, e))
     return SpiralOp(
         gathers=[gather_op_from_idx(spirals[:, i], n) for i in range(l)],
@@ -133,14 +137,14 @@ def _score_fwd(w_l, b, x, op):
 
 def _score_bwd(res, dy):
     w_l, x, op = res
-    n = x.shape[0]
+    m = dy.shape[0]
     # dx: scatter of dy @ W_lᵀ over the spiral structure = combined gathers,
     # one per column group (bounds the materialized dg tensor). dg is laid
     # out l-major within each group to match the tables' flat positions.
     dx = None
     for table, (s, e) in zip(op.inv_tables, op.group_slices):
-        dg = jnp.einsum("nbo,lco->lnbc", dy, w_l[s:e])   # [g, N, B, C]
-        part = table.apply(dg.reshape((e - s) * n, *dg.shape[2:]))
+        dg = jnp.einsum("nbo,lco->lnbc", dy, w_l[s:e])   # [g, M, B, C]
+        part = table.apply(dg.reshape((e - s) * m, *dg.shape[2:]))
         dx = part if dx is None else dx + part
     # dW: recompute the cheap forward gathers instead of saving residuals
     dw_l = jnp.stack([
