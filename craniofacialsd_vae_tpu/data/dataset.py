@@ -339,6 +339,59 @@ def save_mean_mesh(normalization: dict, template, out_path: str):
     write_ply(out_path, np.asarray(normalization["mean"]), template.face)
 
 
+class DeviceBatchIterator:
+    """Device-resident batcher: uploads the split's vertex tensor to the
+    accelerator once and slices batches on device by (tiny) index uploads.
+
+    In-memory mesh datasets are small (the craniofacial train split is
+    ~20 MB) while per-step host→device uploads dominate the epoch on
+    high-latency links — with an 11 ms train step, re-uploading 0.8 MB
+    per step left the device >90% idle. The reference's answer was 8 CPU
+    DataLoader workers; the TPU answer is to keep the data where the
+    compute is.
+    """
+
+    def __init__(self, arrays: MeshArrays, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, class2idx: dict | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.class2idx = class2idx
+        self._x_dev = jnp.asarray(arrays.x)
+        self._take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
+
+    def __len__(self):
+        n = len(self.arrays)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        n = len(self.arrays)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            idx = order[s:s + self.batch_size]
+            batch = {
+                "x": self._take(self._x_dev, jnp.asarray(idx)),
+                "y": [self.arrays.y[i] for i in idx],
+                "age": self.arrays.age[idx],
+                "gender": [self.arrays.gender[i] for i in idx],
+                "augmented": self.arrays.augmented[idx],
+            }
+            if self.class2idx is not None:
+                batch["labels"] = np.asarray(
+                    [self.class2idx[y] for y in batch["y"]], np.int32)
+            yield batch
+
+
 class BatchIterator:
     """Host-side batcher: shuffled fixed-size numpy batches, drop_last
     (reference uses drop_last=True everywhere, data_loading.py:40-48)."""

@@ -60,6 +60,7 @@ def main():
     print(f"devices: {jax.devices()}")
 
     from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     DeviceBatchIterator,
                                                      build_datasets)
     from craniofacialsd_vae_tpu.manager import ModelManager
 
@@ -74,10 +75,15 @@ def main():
     if args.data_parallel:
         manager.enable_data_parallel()
         batch_size *= jax.device_count()
-    train_iter = BatchIterator(train_set, batch_size, shuffle=True,
-                               class2idx=manager._class2idx_dict)
-    val_iter = BatchIterator(val_set, batch_size, shuffle=True,
-                             class2idx=manager._class2idx_dict)
+    # keep small in-memory splits resident on device (per-step H2D uploads
+    # otherwise dominate the epoch); shard_map paths feed host arrays
+    device_resident = (not args.data_parallel
+                       and train_set.x.nbytes < 1 << 30)
+    make_iter = DeviceBatchIterator if device_resident else BatchIterator
+    train_iter = make_iter(train_set, batch_size, shuffle=True,
+                           class2idx=manager._class2idx_dict)
+    val_iter = make_iter(val_set, batch_size, shuffle=True,
+                         class2idx=manager._class2idx_dict)
 
     vis_batch = next(iter(train_iter))
     start_epoch = manager.resume(checkpoint_dir) if args.resume else 0
