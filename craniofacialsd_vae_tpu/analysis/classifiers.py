@@ -33,24 +33,72 @@ __all__ = ["QDAClassifier", "LDAClassifier", "LinearSVM", "MLPTrainer",
 @dataclass
 class QDAClassifier:
     """Quadratic discriminant analysis: per-class Gaussian with full
-    covariance, uniform-from-data priors."""
+    covariance, priors from data (sklearn semantics; reference
+    model_manager.py:492-495).
+
+    Decisions use sklearn's factorized form: per-class rotations R and
+    scalings S2 (eigenpairs of the class covariance) give
+    ``-0.5·(‖(x-μ)·R·S2^-½‖² + Σlog S2) + log prior``.
+
+    ``reg_param=None`` (default) is *auto*: 0 when every class covariance
+    is full rank — exactly sklearn's default — otherwise shrink each class
+    covariance toward the scaled identity, ``(1-r)·Σ + r·s·I`` with
+    ``s = mean per-dim variance``. Without this, a 75-dim latent QDA fit on
+    tens of samples per class degenerates (rank-deficient pseudo-inverse
+    log-pdfs are not comparable across classes and the argmax collapses)."""
     means: np.ndarray = None       # [C, D]
-    covs: np.ndarray = None        # [C, D, D]
+    covs: np.ndarray = None        # [C, D, D] (post-shrinkage when reg > 0)
     priors: np.ndarray = None      # [C]
     classes: np.ndarray = None     # [C] label ids
+    reg_param: float | None = None
+    rotations: list = None         # [C] of [D, r_k]
+    scalings: list = None          # [C] of [r_k]
+
+    AUTO_REG = 1e-3
 
     def fit(self, x: np.ndarray, y: np.ndarray) -> "QDAClassifier":
         self.classes = np.unique(y)
-        means, covs, priors = [], [], []
+        d = x.shape[1]
+        means, covs, priors, counts = [], [], [], []
         for c in self.classes:
             xc = x[y == c]
             means.append(xc.mean(axis=0))
-            covs.append(np.cov(xc, rowvar=False, ddof=1))
+            covs.append(np.cov(xc, rowvar=False, ddof=1)
+                        if len(xc) > 1 else np.zeros((d, d)))
             priors.append(len(xc) / len(x))
+            counts.append(len(xc))
         self.means = np.stack(means)
-        self.covs = np.stack(covs)
         self.priors = np.asarray(priors)
+
+        reg = self.reg_param
+        if reg is None:
+            reg = 0.0 if min(counts) - 1 >= d else self.AUTO_REG
+        if reg > 0.0:
+            scale = float(np.mean([np.trace(cv) / d for cv in covs]))
+            scale = scale if scale > 0 else 1.0
+            covs = [(1.0 - reg) * cv + reg * scale * np.eye(d)
+                    for cv in covs]
+        self.covs = np.stack(covs)
+        self._factorize()
         return self
+
+    def _factorize(self):
+        """Eigendecompose each class covariance into sklearn-style
+        (rotations, scalings), truncating non-positive eigenvalues (the
+        rank-deficient sklearn-pickle-derived case projects onto the class
+        subspace, matching sklearn's thin-SVD decision function)."""
+        self.rotations, self.scalings = [], []
+        for cov in self.covs:
+            ev, vec = np.linalg.eigh(cov)
+            keep = ev > max(float(ev.max()), 1.0) * 1e-12
+            if not keep.any():
+                keep[-1] = True
+            self.rotations.append(vec[:, keep])
+            self.scalings.append(np.maximum(ev[keep], 1e-300))
+
+    def _ensure_factors(self):
+        if self.rotations is None:
+            self._factorize()
 
     @staticmethod
     def _solve_cov(cov: np.ndarray, rhs: np.ndarray) -> np.ndarray:
@@ -65,18 +113,16 @@ class QDAClassifier:
         return np.linalg.pinv(cov) @ rhs
 
     def log_posteriors(self, x: np.ndarray) -> np.ndarray:
+        self._ensure_factors()
         x = np.atleast_2d(x)
         out = np.empty((len(x), len(self.classes)))
         for i, _ in enumerate(self.classes):
             diff = x - self.means[i]
-            cov = self.covs[i]
-            sign, logdet = np.linalg.slogdet(cov)
-            if sign <= 0:   # rank-deficient: use pseudo-determinant
-                ev = np.linalg.eigvalsh(cov)
-                logdet = float(np.sum(np.log(ev[ev > 1e-12])))
-            sol = self._solve_cov(cov, diff.T).T
-            maha = np.einsum("nd,nd->n", diff, sol)
-            out[:, i] = -0.5 * (logdet + maha) + np.log(self.priors[i])
+            r, s2 = self.rotations[i], self.scalings[i]
+            x2 = diff @ (r / np.sqrt(s2))
+            out[:, i] = -0.5 * (np.sum(x2 ** 2, axis=1)
+                                + np.sum(np.log(s2))) \
+                + np.log(self.priors[i])
         return out
 
     def predict(self, x: np.ndarray) -> np.ndarray:
@@ -100,10 +146,11 @@ class QDAClassifier:
     def mahalanobis(self, z, class_idx: int) -> float:
         """Mahalanobis distance of z to the class Gaussian
         (reference mm.py:516-529)."""
+        self._ensure_factors()
         i = int(np.where(self.classes == class_idx)[0][0])
         diff = np.asarray(z).reshape(-1) - self.means[i]
-        sol = self._solve_cov(self.covs[i], diff)
-        return float(np.sqrt(max(diff @ sol, 0.0)))
+        proj = diff @ self.rotations[i]
+        return float(np.sqrt(np.sum(proj ** 2 / self.scalings[i])))
 
     @classmethod
     def from_sklearn(cls, skl) -> "QDAClassifier":
@@ -112,6 +159,10 @@ class QDAClassifier:
         c.covs = np.stack([np.asarray(m) for m in skl.covariance_])
         c.priors = np.asarray(skl.priors_)
         c.classes = np.asarray(skl.classes_)
+        # sklearn's own thin-SVD factors → bit-identical decision values
+        if getattr(skl, "rotations_", None) is not None:
+            c.rotations = [np.asarray(r) for r in skl.rotations_]
+            c.scalings = [np.asarray(s) for s in skl.scalings_]
         return c
 
     def to_arrays(self, prefix=""):
@@ -175,7 +226,7 @@ class LDAClassifier:
 
     def decision_function(self, x: np.ndarray) -> np.ndarray:
         x = np.atleast_2d(x)
-        sol = np.linalg.solve(self.cov, self.means.T)       # [D, C]
+        sol = QDAClassifier._solve_cov(self.cov, self.means.T)  # [D, C]
         linear = x @ sol
         const = -0.5 * np.einsum("cd,dc->c", self.means, sol) + \
             np.log(self.priors)

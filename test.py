@@ -77,6 +77,14 @@ def main():
         tester.random_generation_and_save()
     elif exp == "classifiers":
         print(json.dumps(tester.test_classifiers(), indent=1))
+    elif exp == "refit_classifiers":
+        # refit the zoo from the resumed model's latents (e.g. after a
+        # classifier-solver change), save, and regenerate the metrics
+        val_iter = BatchIterator(val_set, batch_size, shuffle=False,
+                                 drop_last=False)
+        manager.train_and_validate_classifiers(
+            train_iter, val_iter, checkpoint_dir=checkpoint_dir)
+        print(json.dumps(tester.test_classifiers(), indent=1))
     elif exp == "recon":
         print(json.dumps(tester.reconstruction_errors(), indent=1))
     elif exp == "interpolate":

@@ -58,6 +58,32 @@ class TestQDA:
         s = qda.sample(2, 5000, seed=0)
         np.testing.assert_allclose(s.mean(axis=0), qda.means[2], atol=0.15)
 
+    def test_rank_deficient_75dim_latents(self):
+        """The flagship regime: 75-dim latents, tens of samples per class
+        (class covariance rank << dims). Auto shrinkage must keep QDA usable
+        where the round-1 pseudo-inverse solver collapsed to 0.0 accuracy."""
+        from craniofacialsd_vae_tpu.analysis import (LDAClassifier,
+                                                     QDAClassifier)
+
+        rng = np.random.default_rng(7)
+        d, n_train, n_test = 75, 30, 10
+        means = rng.normal(size=(4, d)) * 2.0
+        xs_tr, ys_tr, xs_te, ys_te = [], [], [], []
+        for c in range(4):
+            pts = means[c] + rng.normal(size=(n_train + n_test, d)) * 0.5
+            xs_tr.append(pts[:n_train]); ys_tr.append(np.full(n_train, c))
+            xs_te.append(pts[n_train:]); ys_te.append(np.full(n_test, c))
+        x_tr, y_tr = np.concatenate(xs_tr), np.concatenate(ys_tr)
+        x_te, y_te = np.concatenate(xs_te), np.concatenate(ys_te)
+
+        lda = LDAClassifier().fit(x_tr, y_tr)
+        assert lda.score(x_te, y_te) == 1.0
+        qda = QDAClassifier().fit(x_tr, y_tr)
+        assert qda.score(x_te, y_te) >= 0.9
+        # log-posteriors stay finite and comparable across classes
+        lp = qda.log_posteriors(x_te)
+        assert np.isfinite(lp).all()
+
 
 class TestLDA:
     def test_matches_sklearn_predictions(self, blobs):
