@@ -610,9 +610,12 @@ class Tester:
 
     # ------------------------------------------------------------------
     # interpolations (reference test.py:544-637)
-    def interpolate(self, v_1: np.ndarray, v_2: np.ndarray):
+    def interpolate(self, v_1: np.ndarray, v_2: np.ndarray,
+                    per_variable_steps: int = 3):
         """Per-feature / per-variable / all-features latent interpolation
-        between two meshes (raw vertex arrays)."""
+        between two meshes (raw vertex arrays), with the reference's video
+        artifacts (test.py:544-637: interpolate_per_feature.png/mp4,
+        interpolate_per_variable.mp4, interpolate_all.png)."""
         mgr = self._manager
         z_1 = np.asarray(mgr.encode(self._normalize(v_1)))
         z_2 = np.asarray(mgr.encode(self._normalize(v_2)))
@@ -620,17 +623,36 @@ class Tester:
         n = max(len(features) // 2, 2)
 
         # per feature: walk each region's slice from z1 to z2 sequentially
-        rows = []
+        rows, all_frames = [], []
         z = np.tile(z_1, (n, 1))
         for feature in features:
             lo, hi = mgr.latent_regions[feature]
             z[:, lo:hi] = vector_linspace(z_1[lo:hi], z_2[lo:hi], n)
             gen = self._unnormalize(np.asarray(mgr.generate(z)))
-            rows.append(make_image_grid(self._render(gen), nrow=n))
+            renders = self._render(gen)
+            all_frames.append(renders)
+            rows.append(make_image_grid(renders, nrow=n))
             z = np.tile(z[-1], (n, 1))
         self._save_image(
             os.path.join(self._out_dir, "interpolate_per_feature.png"),
             np.concatenate(rows, axis=0))
+        self._write_video(
+            os.path.join(self._out_dir, "interpolate_per_feature.mp4"),
+            np.concatenate(all_frames, axis=0), fps=4)
+
+        # per variable: walk every latent dimension z1->z2 sequentially
+        # (reference test.py:608-627)
+        all_frames = []
+        z = np.tile(z_1, (per_variable_steps, 1))
+        for z_i in range(z_1.shape[-1]):
+            z[:, z_i] = np.linspace(float(z_1[z_i]), float(z_2[z_i]),
+                                    per_variable_steps)
+            gen = self._unnormalize(np.asarray(mgr.generate(z)))
+            all_frames.append(self._render(gen))
+            z = np.tile(z[-1], (per_variable_steps, 1))
+        self._write_video(
+            os.path.join(self._out_dir, "interpolate_per_variable.mp4"),
+            np.concatenate(all_frames, axis=0), fps=4)
 
         # all features at once
         zs = vector_linspace(z_1, z_2, len(features))
@@ -771,26 +793,137 @@ class Tester:
                           fps=2)
         self.save_batch(gen, out_dir)
 
-        # embedding-space trajectory overlays
+        # embedding-space trajectory overlays: static svg + per-point video
+        # on both pickled figures (reference test.py:771-833)
         try:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            import pickle
-
-            fig_path = os.path.join(self._out_dir,
-                                    "lda_emb_distributions.pkl")
-            if os.path.exists(fig_path):
-                with open(fig_path, "rb") as f:
-                    fig = pickle.load(f)
-                proj = mgr.lda_project_latents_in_2d(z_interp)
-                ax = fig.gca()
-                ax.plot(proj[:, 0], proj[:, 1], "-o", color="#e881a7",
-                        markersize=3)
-                fig.savefig(os.path.join(out_dir, save_id + "_emb.svg"))
-                plt.close(fig)
+            self._overlay_on_global_figure(
+                z_interp, out_dir, save_id + "_emb",
+                video_name=save_id + "_emb_interpolate")
+            self._overlay_on_region_grid(
+                z_interp, out_dir, save_id + "_emb_r_interpolate",
+                video=True)
         except Exception as e:
             print(f"[tester] embedding overlay skipped: {e}")
+
+    @staticmethod
+    def _fig_to_frame(fig) -> np.ndarray:
+        """Rasterize a matplotlib figure to a float [H, W, 3] frame."""
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        return buf.astype(np.float32) / 255.0
+
+    def _region_projections(self, z: np.ndarray) -> dict:
+        """{region_key: [P, 2]} per-region 2-D projections, matching the
+        conventions of plot_embeddings_per_region."""
+        mgr = self._manager
+        zoo = mgr.classifiers
+        out = {}
+        for key, (lo, hi) in mgr.latent_regions.items():
+            if hi - lo > 2 and zoo is not None and zoo.region_ldas:
+                lda = zoo.region_ldas[key]
+                emb = lda.transform_sklearn_style(z[:, lo:hi]) \
+                    if hasattr(lda, "_sklearn_transform") \
+                    else lda.transform(z[:, lo:hi])
+            else:
+                emb = z[:, [lo, hi - 1]]
+            emb = np.asarray(emb)
+            if emb.shape[1] < 2:    # 2-class LDA has a single component
+                emb = np.concatenate(
+                    [emb, np.zeros((len(emb), 2 - emb.shape[1]))], axis=1)
+            out[key] = emb
+        return out
+
+    def _overlay_on_global_figure(self, z, out_dir, svg_name,
+                                  video_name=None,
+                                  fig_path=None):
+        """Overlay latents onto the pickled global LDA-embedding figure
+        (reference test.py:771-797, 872-890)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..viz.plots import load_pickled_figure
+
+        fig_path = fig_path or os.path.join(self._out_dir,
+                                            "lda_emb_distributions.pkl")
+        if not os.path.exists(fig_path):
+            print(f"[tester] {fig_path} missing; global overlay skipped")
+            return
+        z = np.atleast_2d(np.asarray(z))
+        proj = self._manager.lda_project_latents_in_2d(z)
+
+        fig = load_pickled_figure(fig_path)
+        ax = fig.gca()
+        ax.plot(proj[:, 0], proj[:, 1], "-o", color="#e881a7", markersize=3)
+        fig.savefig(os.path.join(out_dir, svg_name + ".svg"))
+        plt.close(fig)
+
+        if video_name is not None and len(proj) > 1:
+            frames = []
+            for p in range(len(proj)):
+                fig = load_pickled_figure(fig_path)
+                ax = fig.gca()
+                ax.scatter(proj[:p + 1, 0], proj[:p + 1, 1],
+                           c="#e881a7", s=6)
+                frames.append(self._fig_to_frame(fig))
+                plt.close(fig)
+            self._write_video(os.path.join(out_dir, video_name + ".mp4"),
+                              np.stack(frames), fps=4)
+
+    def _overlay_on_region_grid(self, z, out_dir, name, video=False,
+                                fig_path=None):
+        """Overlay per-region latent slices onto the pickled per-region
+        FacetGrid (reference test.py:798-833, 891-904)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..viz.plots import load_pickled_figure
+
+        fig_path = fig_path or os.path.join(self._out_dir,
+                                            "emb_all_train_dist.pkl")
+        if not os.path.exists(fig_path):
+            print(f"[tester] {fig_path} missing; region overlay skipped")
+            return
+        z = np.atleast_2d(np.asarray(z))
+        r_proj = self._region_projections(z)
+
+        grid = load_pickled_figure(fig_path)
+        for key, emb in r_proj.items():
+            ax = grid.axes_dict.get(COLOUR2ATTRIBUTE.get(key, key))
+            if ax is not None:
+                ax.scatter(emb[:, 0], emb[:, 1], c=["#e881a7"], s=2)
+        grid.fig.savefig(os.path.join(out_dir, name + ".svg"))
+        plt.close(grid.fig)
+
+        if video and len(z) > 1:
+            frames = []
+            for p in range(len(z)):
+                grid = load_pickled_figure(fig_path)
+                for key, emb in r_proj.items():
+                    ax = grid.axes_dict.get(COLOUR2ATTRIBUTE.get(key, key))
+                    if ax is not None:
+                        ax.scatter(emb[p, 0], emb[p, 1],
+                                   c=["#e881a7"], s=2)
+                frames.append(self._fig_to_frame(grid.fig))
+                plt.close(grid.fig)
+            self._write_video(os.path.join(out_dir, name + ".mp4"),
+                              np.stack(frames), fps=4)
+
+    def classify_and_project(self, mesh_path: str):
+        """Diagnose one patient mesh with the main (QDA) classifier and
+        overlay its latent onto both pickled embedding figures
+        (reference test.py:872-904)."""
+        z_p = self._load_and_encode(mesh_path).reshape(1, -1)
+        label = self._manager.classify_latent(z_p, "qda")
+        print(f"[tester] {os.path.basename(mesh_path)} classified as "
+              f"{label}")
+        out_dir = os.path.join(self._out_dir, "interpolations")
+        os.makedirs(out_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(mesh_path))[0]
+        self._overlay_on_global_figure(z_p, out_dir, name + "_emb")
+        self._overlay_on_region_grid(z_p, out_dir, name + "_emb_r")
+        return label
 
     # ------------------------------------------------------------------
     # pre/post surgery assessment (reference test.py:972-1157)
@@ -881,16 +1014,14 @@ class Tester:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-            import pickle
 
-            from ..viz.plots import plot_2d_arrow
+            from ..viz.plots import load_pickled_figure, plot_2d_arrow
 
             fig_path = os.path.join(self._out_dir,
                                     "lda_emb_distributions.pkl")
             if not os.path.exists(fig_path):
                 return
-            with open(fig_path, "rb") as f:
-                fig = pickle.load(f)
+            fig = load_pickled_figure(fig_path)
             pre2d = self._manager.lda_project_latents_in_2d(z_pre)
             post2d = self._manager.lda_project_latents_in_2d(z_post)
             ax = fig.gca()
@@ -954,6 +1085,22 @@ class Tester:
         ax.set_xticklabels(ax.get_xticklabels(), rotation=30)
         ax.figure.savefig(os.path.join(out_dir,
                                        "region_metrics_distances.svg"))
+
+        # per-syndrome angle-metric boxplots (reference test.py:952-971)
+        rdf_a = pd.DataFrame(region_rows_a).fillna(0)
+        for syndrome in ("Apert", "Crouzon"):
+            sub = rdf_a[rdf_a["Syndrome"] == syndrome]
+            if not len(sub):
+                continue
+            plt.close("all")
+            ax = sns.boxplot(
+                data=pd.melt(sub.drop(columns="Syndrome"),
+                             id_vars="Procedure"),
+                x="variable", y="value", hue="Procedure")
+            ax.set_xticklabels(ax.get_xticklabels(), rotation=30)
+            ax.figure.savefig(os.path.join(
+                out_dir,
+                f"region_metrics_with_angles_{syndrome.lower()}.svg"))
         plt.close("all")
         return pairs_df
 

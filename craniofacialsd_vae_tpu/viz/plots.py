@@ -79,3 +79,214 @@ def plot_confusion_matrix(data, labels, output_filename):
     ax.set(ylabel="True Label", xlabel="Predicted Label")
     plt.savefig(output_filename, bbox_inches="tight", dpi=300)
     plt.close()
+
+
+def load_pickled_figure(path):
+    """Unpickle a matplotlib figure/FacetGrid, tolerating figures pickled
+    by older matplotlib versions (the reference's shipped
+    lda_emb_distributions.pkl / emb_all_train_dist.pkl predate the
+    CallbackRegistry '_cid_gen' state key)."""
+    import pickle
+
+    from matplotlib import cbook
+
+    orig_cr = cbook.CallbackRegistry.__setstate__
+    orig_gr = cbook.Grouper.__setstate__
+
+    def tolerant_cr(self, state):
+        state.setdefault("_cid_gen", 0)
+        state.pop("_func_cid_map", None)
+        state.pop("exception_handler", None)
+        try:
+            orig_cr(self, state)
+        except Exception:
+            # last resort: a fresh registry (overlays don't need callbacks)
+            cbook.CallbackRegistry.__init__(self)
+
+    def tolerant_gr(self, state):
+        state.setdefault("_ordering", {})
+        state.setdefault("_next_order", len(state["_ordering"]))
+        try:
+            orig_gr(self, state)
+        except Exception:
+            cbook.Grouper.__init__(self)
+
+    from matplotlib import figure as mfigure
+    from matplotlib.axes import _base as axes_base
+
+    orig_st = mfigure._AxesStack.__setstate__
+
+    def tolerant_st(self, state):
+        if "_axes" not in state and "_elements" in state:
+            # pre-3.6 stack: _elements = [(ind, axes), ...]
+            state = {"_axes": {ax: i for i, ax in state["_elements"]}}
+        state.setdefault("_counter", len(state.get("_axes", {})))
+        orig_st(self, dict(state))
+
+    orig_ax = axes_base._AxesBase.__setstate__
+
+    def tolerant_ax(self, state):
+        # pre-3.7 pickles carry _shared_x_axes/_shared_y_axes Groupers
+        # instead of the _shared_axes/_twinned_axes state keys
+        state.setdefault("_shared_axes", {})
+        state.setdefault("_twinned_axes", None)
+        for legacy in ("_shared_x_axes", "_shared_y_axes"):
+            state.pop(legacy, None)
+        orig_ax(self, state)
+
+    def _subplot_ctor(axes_class=None):
+        # pre-3.7 pickles construct AxesSubplot through this factory
+        from matplotlib.axes import Axes
+        return Axes.__new__(Axes)
+
+    try:    # pandas' own compat unpickler knows the old-Index remaps
+        from pandas.compat.pickle_compat import Unpickler as _BaseUnpickler
+    except Exception:
+        _BaseUnpickler = pickle.Unpickler
+
+    class _CompatUnpickler(_BaseUnpickler):
+        _REMAP = {
+            ("matplotlib.axes._subplots", "AxesSubplot"):
+                ("matplotlib.axes", "Axes"),
+            ("matplotlib.axes._subplots", "Subplot"):
+                ("matplotlib.axes", "Axes"),
+            ("matplotlib.axes._subplots",
+             "_picklable_subplot_class_constructor"): _subplot_ctor,
+        }
+
+        def find_class(self, module, name):
+            hit = self._REMAP.get((module, name))
+            if hit is not None:
+                if callable(hit) and not isinstance(hit, tuple):
+                    return hit
+                module, name = hit
+            return super().find_class(module, name)
+
+    def _fixup_axes(obj):
+        """Repair attribute renames on unpickled axes (old 'converter' /
+        'units' instance attrs became '_converter' / '_units')."""
+        figs = []
+        od = vars(obj) if hasattr(obj, "__dict__") else {}
+        for legacy in ("fig", "_fig"):            # seaborn < 0.12 FacetGrid
+            if "_figure" not in od and legacy in od:
+                obj._figure = od[legacy]
+        if isinstance(obj, mfigure.Figure):
+            figs.append(obj)
+        elif hasattr(obj, "fig"):                     # seaborn FacetGrid
+            figs.append(obj.fig)
+        from matplotlib.axes._base import _process_plot_var_args
+        import matplotlib.axis as maxis
+        import matplotlib.patches as mpatches
+
+        # class-level defaults: instances unpickled from old matplotlib
+        # fall back to these when the attribute is missing; new instances
+        # always set them in __init__, so this is inert otherwise
+        mpatches.Rectangle._rotation_point = "xy"        # mpl 3.6
+        mpatches.Rectangle._aspect_ratio_correction = 1.0
+        mpatches.Patch._dash_pattern = (0, None)         # mpl 3.6 rename
+        from matplotlib.collections import Collection as _Coll
+        from matplotlib.lines import Line2D as _L2D
+        _Coll._gapcolor = None                           # mpl 3.8
+        _L2D._gapcolor = None
+        import matplotlib.text as mtext
+        mtext.Text._parse_math = True                    # mpl 3.6
+        mtext.Text._antialiased = True                   # mpl 3.7
+        import matplotlib.markers as mmarkers
+        mmarkers.MarkerStyle._user_transform = None      # mpl 3.6
+        mmarkers.MarkerStyle._user_capstyle = None
+        mmarkers.MarkerStyle._user_joinstyle = None
+        maxis.Axis._converter = None                     # mpl 3.10 rename
+        maxis.Axis._converter_is_explicit = False
+        maxis.Axis._units = None
+        maxis.Axis._autoscale_on = True                  # mpl 3.6 move
+        maxis.Axis._tick_space = None
+        mfigure.Figure._layout_engine = None             # mpl 3.6
+
+        def _walk(artist):
+            yield artist
+            try:
+                kids = artist.get_children()
+            except Exception:
+                kids = []
+            for k in kids:
+                yield from _walk(k)
+
+        for fig in figs:
+            fd = vars(fig)
+            if not isinstance(fd.get("_localaxes"), list):
+                fig._localaxes = list(fig.axes)   # mpl 3.5 kept a stack
+            fd.setdefault("subfigs", [])
+            fd.setdefault("_root_figure", fig)    # mpl 3.10
+            fd.setdefault("_parent_figure", None)
+            from matplotlib.cbook import Grouper as _Grouper
+            groups = fd.get("_align_label_groups")
+            if not isinstance(groups, dict) or "title" not in groups:
+                fig._align_label_groups = {
+                    "x": _Grouper(), "y": _Grouper(), "title": _Grouper()}
+            for ax in fig.axes:
+                # pre-3.8 pickles carry prop-cycler state the new
+                # _process_plot_var_args can't use; rebuild fresh ones
+                if "_cycler_items" not in vars(
+                        vars(ax).get("_get_lines", object()) or object()):
+                    ax._get_lines = _process_plot_var_args()
+                    ax._get_patches_for_fill = \
+                        _process_plot_var_args('Polygon')
+                d = vars(ax)
+                if "_stale_viewlims" not in d:   # pre-3.9 per-axis flags
+                    ax._stale_viewlims = {
+                        "x": d.get("_stale_viewlim_x", False),
+                        "y": d.get("_stale_viewlim_y", False)}
+                if "_children" not in d:
+                    # pre-3.5 axes keep artists in per-type lists
+                    kids = []
+                    for key in ("artists", "patches", "lines", "texts",
+                                "tables", "images", "collections",
+                                "containers"):
+                        val = d.get(key)
+                        if isinstance(val, (list, tuple)):
+                            kids.extend(val)
+                    ax._children = kids
+                for axis in (ax.xaxis, ax.yaxis):
+                    d = vars(axis)
+                    if "_converter" not in d:
+                        axis._converter = d.get("converter", None)
+                    if "_converter_is_explicit" not in d:
+                        axis._converter_is_explicit = False
+                    if "_units" not in d:
+                        axis._units = d.get("units", None)
+            # walk the (now reachable) artist tree for per-artist renames
+            from matplotlib.collections import Collection
+            from matplotlib.lines import Line2D
+            for root in [fig] + list(fig.axes):
+                for art in _walk(root):
+                    d = vars(art)
+                    if "_parent_figure" not in d:  # pre-3.10 'figure' attr
+                        art._parent_figure = d.get("figure", fig)
+                    if isinstance(art, Collection) \
+                            and "_offset_transform" not in d:
+                        art._offset_transform = d.get("_transOffset")
+                    if isinstance(art, Line2D) \
+                            and "_dash_pattern" not in d:
+                        art._dash_pattern = (d.get("_dashOffset", 0),
+                                             d.get("_dashSeq"))
+                    import matplotlib.text as mtext
+                    if isinstance(art, mtext.Text):
+                        rot = d.get("_rotation", 0)
+                        if rot is None:
+                            art._rotation = 0.
+                        elif isinstance(rot, str):   # 'horizontal'/'vertical'
+                            art._rotation = 90. if rot == "vertical" else 0.
+        return obj
+
+    cbook.CallbackRegistry.__setstate__ = tolerant_cr
+    cbook.Grouper.__setstate__ = tolerant_gr
+    axes_base._AxesBase.__setstate__ = tolerant_ax
+    mfigure._AxesStack.__setstate__ = tolerant_st
+    try:
+        with open(path, "rb") as f:
+            return _fixup_axes(_CompatUnpickler(f).load())
+    finally:
+        cbook.CallbackRegistry.__setstate__ = orig_cr
+        cbook.Grouper.__setstate__ = orig_gr
+        axes_base._AxesBase.__setstate__ = orig_ax
+        mfigure._AxesStack.__setstate__ = orig_st

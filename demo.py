@@ -105,6 +105,37 @@ def main():
             z[:, lo:hi])
     print(f"per-region LDA embeddings: {len(region_embs)} regions")
 
+    # -- 4b. overlay onto the SHIPPED pickled figures (demo.ipynb cells
+    # 13/15: scatter demo latents onto the paper's embedding plots) -------
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from craniofacialsd_vae_tpu.geometry.template import COLOUR2ATTRIBUTE
+    from craniofacialsd_vae_tpu.viz.plots import load_pickled_figure
+
+    try:
+        fig = load_pickled_figure(
+            os.path.join(DEMO, "lda_emb_distributions.pkl"))
+        fig.gca().scatter(emb[:, 0], emb[:, 1], c=["#e881a7"], s=14)
+        fig.savefig(os.path.join(args.out, "demo_emb.svg"))
+        plt.close(fig)
+        print("global-figure overlay → demo_emb.svg")
+    except Exception as e:
+        print(f"global-figure overlay skipped ({type(e).__name__}: {e})")
+    try:
+        grid = load_pickled_figure(
+            os.path.join(DEMO, "emb_all_train_dist.pkl"))
+        for key, remb in region_embs.items():
+            ax = grid.axes_dict.get(COLOUR2ATTRIBUTE.get(key, key))
+            if ax is not None:
+                ax.scatter(remb[:, 0], remb[:, 1], c=["#e881a7"], s=2)
+        grid.fig.savefig(os.path.join(args.out, "demo_emb_r.svg"))
+        plt.close(grid.fig)
+        print("per-region-figure overlay → demo_emb_r.svg")
+    except Exception as e:
+        print(f"per-region overlay skipped ({type(e).__name__}: {e})")
+
     # -- 5. surgical-planning interpolation -------------------------------
     sick = [i for i, n in enumerate(names) if n[0] in "acm"][0]
     n_cls_idx = manager.class2idx("n")

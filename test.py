@@ -98,6 +98,9 @@ def main():
             normalization["mean"]
         tester.interpolate(x0, x1)
         print("interpolations written")
+    elif exp == "classify_and_project":
+        assert args.mesh, "--mesh required"
+        tester.classify_and_project(args.mesh)
     elif exp == "planning":
         assert args.mesh, "--mesh required"
         out = tester.interpolate_syndrome_to_normal(args.mesh)
