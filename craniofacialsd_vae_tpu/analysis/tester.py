@@ -679,6 +679,11 @@ class Tester:
         z_p = self._load_and_encode(patient_path).reshape(-1)
         patient_fname = os.path.basename(patient_path)
 
+        assert mgr.classifiers is not None and \
+            mgr.classifiers.qda is not None, \
+            "surgical planning needs the trained QDA (run " \
+            "train_and_validate_classifiers or resume a checkpoint " \
+            "with classifier pickles first)"
         qda = mgr.classifiers.qda
         n_idx_label = mgr.class2idx("n")
         i = int(np.where(qda.classes == n_idx_label)[0][0])
@@ -943,6 +948,8 @@ class Tester:
         d_post = zoo.mahalanobis(z_post, n_label)
         metric_global = (d_pre - d_post) / max(d_post, 1e-9)
 
+        assert zoo.qda is not None, \
+            "pre/post assessment needs the trained QDA distribution"
         qda = zoo.qda
         i = int(np.where(qda.classes == n_label)[0][0])
         mean_h = qda.means[i]

@@ -184,6 +184,9 @@ def _augment_train_list(root, train_list, template, summary, mode,
         age, gender = summary.age_and_gender(name[:-4])
         classes.setdefault(name[0], []).append(
             {"name": name, "age": age, "gender": gender})
+    # the balanced target divides by the PRE-merge class count — 'b' still
+    # counts as its own class there (reference data_loading.py:314, 332)
+    n_classes_pre_merge = len(classes)
     # merge paediatric into normal (reference data_loading.py:323-324)
     if "b" in classes:
         classes.setdefault("n", []).extend(classes.pop("b"))
@@ -193,7 +196,7 @@ def _augment_train_list(root, train_list, template, summary, mode,
     n_initial = len(train_list)
     for c, info in classes.items():
         if balanced:
-            target = (aug_factor * n_initial) // max(len(classes), 1)
+            target = (aug_factor * n_initial) // max(n_classes_pre_merge, 1)
             n_aug = max(target - len(info), 0)
         else:
             n_aug = (aug_factor - 1) * len(info)

@@ -25,6 +25,17 @@ from .training import (LOSS_KEYS, LossWeights, create_train_state,
 from .training.checkpoint import resume_checkpoint, save_checkpoint
 from .utils import class_conversions_and_weights
 
+
+def _coupled_adam(lr: float, weight_decay: float):
+    """Adam with torch-style *coupled* L2 (decay added to the gradient ahead
+    of the moment updates), matching the reference torch.optim.Adam; optax's
+    adamw would decay decoupled and silently change the objective for any
+    config with nonzero weight_decay."""
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.adam(lr))
+    return optax.adam(lr)
+
 __all__ = ["ModelManager"]
 
 
@@ -61,15 +72,20 @@ class ModelManager:
             assert self.swap_features, \
                 "latent consistency requires swap_features"
         self.batch_size = int(self._optimization_params["batch_size"])
+        # per-step host batch rows the steps are compiled for (grows to
+        # n_devices × batch_size under data parallelism)
+        self._global_batch_size = self.batch_size
 
         key = jax.random.PRNGKey(seed)
         k_net, k_clf = jax.random.split(key)
         params = init_sdvae(k_net, self.net_config, self.geometry)
 
-        self.optimizer = optax.adamw(
+        # torch.optim.Adam couples weight_decay into the gradient (L2 enters
+        # the moment estimates, reference model_manager.py:69-72) — that is
+        # add_decayed_weights BEFORE adam, not decoupled adamw
+        self.optimizer = _coupled_adam(
             float(self._optimization_params["lr"]),
-            weight_decay=float(
-                self._optimization_params.get("weight_decay", 0.0)))
+            float(self._optimization_params.get("weight_decay", 0.0)))
 
         clf_params = None
         self.clf_optimizer = None
@@ -81,10 +97,9 @@ class ModelManager:
             clf_params = init_mlp(
                 k_clf, self._model_params["latent_size"],
                 self._classifier_params["mlp_hidden_features"], n_classes)
-            self.clf_optimizer = optax.adamw(
+            self.clf_optimizer = _coupled_adam(
                 float(self._classifier_params.get("mlp_lr", 1e-4)),
-                weight_decay=float(
-                    self._optimization_params.get("weight_decay", 0.0)))
+                float(self._optimization_params.get("weight_decay", 0.0)))
 
         self.state = create_train_state(params, self.optimizer, clf_params,
                                         self.clf_optimizer)
@@ -127,6 +142,7 @@ class ModelManager:
             self.net_config, self.loss_weights, self.batch_size, mesh,
             swap=self.swap_features, with_labels=self._mlp_end2end)
         self.mesh = mesh
+        self._global_batch_size = self.batch_size * mesh.devices.size
         return mesh
 
     # ------------------------------------------------------------------
@@ -232,7 +248,7 @@ class ModelManager:
         count = 0
         for batch in batch_iter:
             if self.swap_features and \
-                    batch["x"].shape[0] != self.batch_size:
+                    batch["x"].shape[0] != self._global_batch_size:
                 continue  # swap grid is compiled for a fixed batch size
                 # (reference uses drop_last=True everywhere,
                 # data_loading.py:40-48)
@@ -354,6 +370,11 @@ class ModelManager:
         if self._train_latents is None:
             self.encode_all(train_iter, is_train_loader=True)
         val_z, val_labels = self.encode_all(val_iter, is_train_loader=False)
+        if len(self._train_latents) == 0 or len(val_z) == 0:
+            raise ValueError(
+                "classifier fitting got an empty latent set — the loader "
+                "yielded no batches (batch_size larger than the split with "
+                "drop_last?)")
         if self.classifiers is None:
             self.build_classifiers()
 

@@ -2,10 +2,13 @@
 
 The reference computes the k=1000 smallest eigenpairs of the (unnormalized)
 graph Laplacian with scipy's ARPACK (utils.py:238-241) — "up to a few
-minutes" on a laptop (README.md:68-69). On TPU the 17k×17k Laplacian fits
-comfortably dense in HBM (1.2 GB fp32), so we run one dense
-jnp.linalg.eigh and slice the smallest k — simpler, exact for all k, and
-the dominant cost of the reference demo disappears.
+minutes" on a laptop (README.md:68-69). Here the solve runs on-accelerator:
+dense jnp.linalg.eigh for small templates, and for large ones (the flagship
+17,039-vert template) Chebyshev-filtered subspace iteration — degree-d
+polynomial filtering by sparse-ELL matvecs on an [N, block] panel, tall
+QR, and a block×block Rayleigh-Ritz eigh per pass, all MXU-shaped, plus a
+single float64 Rayleigh-Ritz polish on the host. ARPACK remains only as a
+residual-verified fallback and an explicit parity backend.
 
 Spectral projection/reconstruction of mesh batches (the actual augmentation
 math) are plain matmuls that ride the MXU.
@@ -56,12 +59,9 @@ def _scipy_eigsh(template, k):
         return eigsh(lap, k=k, which="SM")
 
 
-def _lobpcg_smallest(template, k):
-    """Smallest-k eigenpairs via LOBPCG on the spectrally-shifted operator
-    (cI - L) — sparse matvecs only, runs on TPU without materializing the
-    dense Laplacian in the compiler."""
-    from jax.experimental.sparse.linalg import lobpcg_standard
-
+def _laplacian_matvec(template):
+    """Sparse (ELL) Laplacian matvec closure + Gershgorin shift so the
+    smallest-of-L problem becomes largest-of-(cI - L)."""
     from .sparse import from_coo, ell_matmul_raw
 
     n = template.num_vertices
@@ -74,15 +74,139 @@ def _lobpcg_smallest(template, k):
     lap = from_coo(rows, cols, vals, (n, n), with_transpose=False)
     shift = float(2.0 * deg.max() + 1.0)       # Gershgorin upper bound
 
-    def matvec(x):                              # (cI - L) x
-        return shift * x - ell_matmul_raw(lap.cols, lap.vals, x)
+    def lap_mv(x):                              # L x
+        return ell_matmul_raw(lap.cols, lap.vals, x)
 
-    x0 = jnp.asarray(np.random.default_rng(0).normal(
-        size=(n, k)).astype(np.float32))
-    theta, vecs, _ = lobpcg_standard(matvec, x0, m=200)
-    evals = shift - np.asarray(theta)           # back to L's spectrum
-    order = np.argsort(evals)
-    return evals[order], np.asarray(vecs)[:, order]
+    return lap_mv, shift
+
+
+def _scipy_laplacian_f64(template):
+    import scipy.sparse as sp
+
+    n = template.num_vertices
+    src = np.concatenate([template.edges[:, 0], template.edges[:, 1]])
+    dst = np.concatenate([template.edges[:, 1], template.edges[:, 0]])
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    return sp.coo_matrix(
+        (np.concatenate([-np.ones(len(src)), deg]),
+         (np.concatenate([src, np.arange(n)]),
+          np.concatenate([dst, np.arange(n)]))),
+        shape=(n, n)).tocsr()
+
+
+def _chebyshev_smallest(template, k, degree: int = 80, max_passes: int = 12,
+                        guard: int | None = None, seed: int = 0,
+                        tol: float = 1e-6):
+    """Smallest-k Laplacian eigenpairs via Chebyshev-filtered subspace
+    iteration — the TPU-native eigensolver for large templates.
+
+    Why not LOBPCG/plain power methods: the wanted eigenvalues sit in the
+    bottom ~0.2% of the spectrum ([0, ~0.03] out of [0, 2·deg_max]), so
+    unaccelerated gradient/Krylov methods converge at 1 - O(gap/width) per
+    step — tens of thousands of iterations (the reference needed ARPACK
+    *shift-invert* for the same reason, which wants sparse triangular
+    solves XLA can't tile). A degree-d Chebyshev polynomial mapped to the
+    unwanted interval [lb, ub] amplifies the wanted window by
+    ~e^{2d·sqrt(lb/ub)} per pass while every operation stays MXU-shaped:
+    d sparse-ELL matvecs on an [N, block] panel, one tall-skinny QR, one
+    block×block eigh per pass.  The filter window [lb, ub] adapts from the
+    Ritz values each pass (ChASE-style).
+
+    Accuracy: fp32 on device for the heavy filtering; one float64
+    Rayleigh-Ritz refinement on the host (O(nnz·block) once) squares the
+    subspace residual into the eigenvalues — tested at rtol 1e-4 against
+    scipy on the real 17k template.
+
+    Returns (evals [k] ascending, evecs [N, k] f64-refined, info dict).
+    """
+    import time
+
+    n = template.num_vertices
+    lap_mv, ub = _laplacian_matvec(template)    # ub: Gershgorin bound on λmax
+
+    g = guard if guard is not None else max(8, k // 8)
+    block = min(k + g, n // 2)
+    if block < k:
+        raise ValueError(f"template too small for k={k} (n={n})")
+
+    @jax.jit
+    def filter_pass(x, lb):
+        """Scaled Chebyshev T_d on t(λ) = (2λ - (ub+lb)) / (ub-lb): |T_d|≤1
+        on the unwanted [lb, ub], grows exponentially on the wanted [0, lb).
+        Column norms are rescaled every step via the standard sigma
+        recurrence so fp32 never overflows at high degree."""
+        e = (ub - lb) / 2.0
+        c = (ub + lb) / 2.0
+        sigma = e / (0.0 - c)                   # Zhou-Saad σ₁ = e/(a₀ - c),
+        # a₀ = 0 the wanted end: normalizes the filter to T̃_d(0) = 1
+        t_prev = x
+        t_cur = (lap_mv(x) - c * x) * (sigma / e)
+        sigma_prev = sigma
+
+        def body(_, carry):
+            t_prev, t_cur, sigma_prev = carry
+            sigma_new = 1.0 / (2.0 / sigma - sigma_prev)
+            t_next = 2.0 * (sigma_new / e) * (lap_mv(t_cur) - c * t_cur) \
+                - (sigma_new * sigma_prev) * t_prev
+            return t_cur, t_next, sigma_new
+
+        _, t_cur, _ = jax.lax.fori_loop(0, degree - 1, body,
+                                        (t_prev, t_cur, sigma_prev))
+        return t_cur
+
+    @jax.jit
+    def rayleigh_ritz(x):
+        q, _ = jnp.linalg.qr(x)
+        w = lap_mv(q)
+        gram = q.T @ w
+        gram = (gram + gram.T) / 2.0
+        theta, s = jnp.linalg.eigh(gram)
+        v = q @ s
+        resid = jnp.linalg.norm(lap_mv(v) - v * theta[None, :], axis=0)
+        return v, theta, resid
+
+    t0 = time.perf_counter()
+    x = jax.random.normal(jax.random.PRNGKey(seed), (n, block),
+                          dtype=jnp.float32)
+    # initial window guess from eigenvalue-count density (adapted after
+    # the first Ritz pass, so only the first pass's efficiency depends on it)
+    lb = float(min(ub * 0.5, ub * 3.0 * block / n))
+    passes = 0
+    theta_prev = None
+    for passes in range(1, max_passes + 1):
+        x = filter_pass(x, lb)
+        x, theta, resid = rayleigh_ritz(x)
+        theta = np.asarray(theta)
+        # next window: damp everything above the top of the current block
+        lb = float(np.clip(theta[-1] * 1.02, ub * 1e-4, ub * 0.9))
+        if float(np.asarray(resid)[:k].max()) < tol * ub:
+            break
+        # stagnation exit: once the wanted Ritz values stop moving, extra
+        # fp32 passes can't help — the f64 polish below squares the
+        # remaining subspace error into the eigenvalues anyway
+        if theta_prev is not None and np.allclose(
+                theta[:k], theta_prev[:k], rtol=1e-7,
+                atol=float(ub) * 1e-9):
+            break
+        theta_prev = theta
+
+    # one float64 Rayleigh-Ritz on the host: eigenvalue error becomes
+    # O(residual²/gap) instead of fp32-matvec-limited
+    lap64 = _scipy_laplacian_f64(template)
+    x64 = np.asarray(x, np.float64)
+    q, _ = np.linalg.qr(x64)
+    w = lap64 @ q
+    gram = q.T @ w
+    theta64, s = np.linalg.eigh((gram + gram.T) / 2.0)
+    v = q @ s
+    evals, vecs = theta64[:k], v[:, :k]
+    res = np.linalg.norm(lap64 @ vecs - vecs * evals[None, :], axis=0)
+
+    info = {"passes": passes, "degree": degree, "block": block,
+            "seconds": time.perf_counter() - t0,
+            "max_residual": float(res.max()),
+            "platform": jax.default_backend()}
+    return evals, vecs, info
 
 
 def laplacian_eigendecomposition(template, k: int = 500,
@@ -92,19 +216,37 @@ def laplacian_eigendecomposition(template, k: int = 500,
 
     backend: 'tpu'    — dense jnp.linalg.eigh (exact; needs the compiler to
                         take an N×N operand);
-             'lobpcg' — sparse-matvec LOBPCG on the shifted operator (TPU,
-                        no dense matrix);
+             'cheby'  — Chebyshev-filtered subspace iteration on the sparse
+                        operator (TPU, no dense matrix, f64 host polish);
              'scipy'  — ARPACK eigsh(which='SM'), the reference's method;
-             'auto'   — try tpu → scipy fallback.
+             'auto'   — on-accelerator by default: dense eigh for small
+                        templates, Chebyshev subspace iteration for large
+                        ones (the flagship 17k template included), scipy
+                        only as residual-verified fallback.
     """
     n = template.num_vertices
     if backend == "scipy":
         return _scipy_eigsh(template, k)
-    if backend == "lobpcg":
-        return _lobpcg_smallest(template, k)
+    if backend == "cheby":
+        vals, vecs, _ = _chebyshev_smallest(template, k)
+        return vals, vecs
     if backend == "auto" and n > 8192:
-        # dense N×N eigh operands overwhelm remote/AOT compile helpers well
-        # before HBM is the limit; shift-invert ARPACK is seconds anyway
+        # a dense N×N eigh operand overwhelms remote/AOT compile helpers well
+        # before HBM is the limit — run the blocked-matvec Chebyshev solver
+        # on-accelerator instead and verify residuals before accepting
+        try:
+            vals, vecs, info = _chebyshev_smallest(template, k)
+            print(f"[eigh] Chebyshev subspace on {info['platform']}: k={k} "
+                  f"block={info['block']} in {info['passes']} passes / "
+                  f"{info['seconds']:.1f}s, max residual "
+                  f"{info['max_residual']:.2e}")
+            if info["max_residual"] < 1e-3:
+                return vals, vecs
+            print("[eigh] residuals above tolerance; "
+                  "falling back to scipy ARPACK")
+        except Exception as e:
+            print(f"[eigh] Chebyshev solver failed ({type(e).__name__}: {e})"
+                  "; falling back to scipy ARPACK")
         return _scipy_eigsh(template, k)
 
     try:
@@ -116,7 +258,7 @@ def laplacian_eigendecomposition(template, k: int = 500,
         if backend == "tpu":
             raise
         print(f"[eigh] dense on-accelerator eigh failed ({type(e).__name__})"
-              "; falling back to scipy ARPACK")
+            "; falling back to scipy ARPACK")
         return _scipy_eigsh(template, k)
 
 

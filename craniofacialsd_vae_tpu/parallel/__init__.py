@@ -1,2 +1,4 @@
 from .mesh import make_data_mesh, shard_batch, replicate, DATA_AXIS
 from .train_parallel import make_parallel_train_step, make_parallel_eval_step
+from .multihost import (initialize_multihost, local_batch_slice,
+                        global_batch_from_local, MultihostBatchIterator)

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 __all__ = ["initialize_multihost", "local_batch_slice",
-           "global_batch_from_local"]
+           "global_batch_from_local", "MultihostBatchIterator"]
 
 
 def initialize_multihost(coordinator_address: str | None = None,
@@ -45,3 +45,38 @@ def global_batch_from_local(mesh, local_array: np.ndarray):
 
     sharding = NamedSharding(mesh, P("data"))
     return jax.make_array_from_process_local_data(sharding, local_array)
+
+
+class MultihostBatchIterator:
+    """Per-host view of a global batch stream.
+
+    Wraps a deterministic host-side iterator built with the GLOBAL batch
+    size (same seed on every process → identical shuffle order everywhere,
+    the multi-host analog of the reference's single-process DataLoader).
+    Each process keeps only its `local_batch_slice` of every batch and
+    assembles device-global arrays for the sharded train step; all other
+    keys stay host-local metadata. Under a single process this degrades to
+    plain sharded batches, which is what the unit tests and the
+    single-host `--multihost` smoke path exercise.
+    """
+
+    def __init__(self, base_iter, mesh):
+        self.base = base_iter
+        self.mesh = mesh
+        self.batch_size = base_iter.batch_size   # global
+
+    def __len__(self):
+        return len(self.base)
+
+    def __iter__(self):
+        sl = local_batch_slice(self.batch_size)
+        for batch in self.base:
+            if batch["x"].shape[0] != self.batch_size:
+                continue   # drop_last across hosts must agree
+            out = dict(batch)
+            out["x"] = global_batch_from_local(
+                self.mesh, np.ascontiguousarray(batch["x"][sl]))
+            if "labels" in batch:
+                out["labels"] = global_batch_from_local(
+                    self.mesh, np.ascontiguousarray(batch["labels"][sl]))
+            yield out

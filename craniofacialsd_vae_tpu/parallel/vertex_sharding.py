@@ -139,6 +139,7 @@ class VertexShardedModel:
 
         self.config = config
         self.mesh = mesh
+        self._bundle = bundle
         d = mesh.devices.size
         self.n_devices = d
 
@@ -211,6 +212,8 @@ class VertexShardedModel:
         logvar = None
         if cfg.is_vae:
             logvar = flat @ params["logvar"]["w"] + params["logvar"]["b"]
+        elif cfg.pre_z_sigmoid:
+            mu = jax.nn.sigmoid(mu)
         return mu, logvar
 
     def _decode(self, params, tables, z):
@@ -235,6 +238,175 @@ class VertexShardedModel:
             h = jax.nn.elu(h)
         return self._conv(tables["conv"][0], self.conv_l[0],
                           params["final_conv"], h)
+
+    # ------------------------------------------------------------------
+    def _build_loss_tables(self):
+        """Lazily-built extras the train step needs beyond the forward:
+        an ELL halo-gather plan for the template Laplacian (the smoothness
+        loss is a per-vertex local operator, like the convs), the
+        vertex-sharded region masks for the on-device swap, and the
+        valid-row mask hiding the shard padding."""
+        if hasattr(self, "_loss_tables"):
+            return self._loss_tables
+        bundle = self._bundle
+        d = self.n_devices
+        n = self.counts[0]
+        s0 = self.shards[0]
+
+        rows, cols, vals = bundle.template.laplacian
+        rows = np.asarray(rows)
+        order = np.argsort(rows, kind="stable")
+        rows, cols_s, vals_s = rows[order], np.asarray(cols)[order], \
+            np.asarray(vals)[order]
+        counts = np.bincount(rows, minlength=n)
+        k = int(counts.max())
+        ell_cols = np.zeros((n, k), np.int64)
+        ell_vals = np.zeros((n, k), np.float32)
+        pos = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for j in range(k):
+            sel = counts > j
+            ell_cols[sel, j] = cols_s[pos[sel] + j]
+            ell_vals[sel, j] = vals_s[pos[sel] + j]
+
+        def arrange(table_2d):
+            padded = _pad_rows_np(np.asarray(table_2d), s0 * d)
+            return padded.reshape(d, s0, -1)
+
+        lap_plan = GatherPlan.build(
+            arrange(ell_cols).transpose(0, 2, 1).reshape(-1), n, d).tables()
+        lap_vals = jnp.asarray(arrange(ell_vals))          # [D, S, K]
+
+        masks = np.asarray(bundle.template.region_masks(), np.float32)
+        masks_sh = jnp.asarray(arrange(masks.T))           # [D, S, R]
+        valid = np.zeros((d, s0), np.float32)
+        valid.reshape(-1)[:n] = 1.0
+        self._lap_k = k
+        self._loss_tables = {"lap": lap_plan, "lap_vals": lap_vals,
+                             "masks": masks_sh,
+                             "valid": jnp.asarray(valid)}
+        return self._loss_tables
+
+    def make_train_step(self, weights, optimizer, batch_size: int,
+                        swap: bool = True):
+        """Vertex-sharded training step — losses and the optimizer update
+        under the vertex mesh, matching training.trainer.make_train_step
+        update-for-update (same key-splitting, swap, loss semantics).
+
+        step(state, x_sharded [D·S₀, B, 3], key) → (state, metrics).
+
+        Locality split: reconstruction and the Laplacian regularizer are
+        per-vertex local (computed on each shard, masked to real rows,
+        psum'd); KL and latent-consistency live on the replicated latent —
+        each device computes them identically, so their loss contribution
+        is divided by the device count before the gradient psum. The
+        classifier head is not part of this step (diagnosis happens on
+        replicated latents; see training.trainer for the end2end path).
+        """
+        import optax
+
+        from ..training.losses import (kl_divergence_loss,
+                                       latent_consistency_loss,
+                                       region_feature_mask)
+        from ..training.trainer import TrainState
+
+        tables = {"conv": self.conv_tables, "down": self.down_tables,
+                  "up": self.up_tables, "up_vals_l": self.up_vals}
+        lt = self._build_loss_tables()
+        lap_k = self._lap_k
+        cfg = self.config
+        d = self.n_devices
+        n_tot = self.counts[0]
+        n_regions = int(lt["masks"].shape[-1])
+        grid = batch_size * batch_size if swap else batch_size
+
+        def device_loss(params, tables, lt, x, key):
+            k_region, k_reparam = jax.random.split(key)
+            masks_local = lt["masks"][0]                   # [S, R]
+            valid = lt["valid"][0]                         # [S]
+            if swap:
+                region_idx = jax.random.randint(k_region, (), 0, n_regions)
+                m = jnp.take(masks_local, region_idx, axis=1) > 0
+                xi = x[:, :, None, :]
+                xj = x[:, None, :, :]
+                x_grid = jnp.where(m[:, None, None, None], xj, xi)
+                x_grid = x_grid.reshape(x.shape[0], -1, x.shape[-1])
+            else:
+                region_idx = jnp.int32(0)
+                x_grid = x
+
+            mu, logvar = self._encode(params, tables, x_grid)
+            if cfg.is_vae:
+                std = jnp.exp(0.5 * logvar)
+                eps = jax.random.normal(k_reparam, mu.shape, mu.dtype)
+                z = mu + eps * std
+            else:
+                z = mu
+            out = self._decode(params, tables, z)          # [S, grid, 3]
+
+            vmask = valid[:, None, None]
+            recon = jnp.sum((out - x_grid) ** 2 * vmask) / \
+                (n_tot * grid * 3)
+
+            lap = 0.0
+            if weights.laplacian > 0:
+                g = apply_gather(lt["lap"], out)           # [K·S, grid, 3]
+                g = g.reshape(lap_k, -1, grid, 3)
+                lx = jnp.einsum("ksbc,sk->sbc", g, lt["lap_vals"][0])
+                sq = jnp.sum(lx * lx, axis=-1)             # [S, grid]
+                # padded rows are structurally zero and d(sqrt)/dx at 0 is
+                # NaN — where-guard them before the sqrt, then mask
+                safe = jnp.where(valid[:, None] > 0, sq, 1.0)
+                per_vertex = jnp.sqrt(safe) * valid[:, None]
+                lap = jnp.sum(per_vertex) / (n_tot * grid)
+
+            kl = kl_divergence_loss(mu, logvar) if cfg.is_vae else 0.0
+            cons = 0.0
+            if swap and weights.latent_consistency > 0:
+                fmask = region_feature_mask(cfg.latent_size, n_regions,
+                                            region_idx)
+                cons = latent_consistency_loss(z, fmask, batch_size,
+                                               weights.eta1, weights.eta2)
+
+            # local terms partition over shards (psum of grads sums them);
+            # replicated terms are computed identically on every device, so
+            # divide by D to keep the psum'd gradient correct
+            loss = recon + weights.laplacian * lap + \
+                (weights.kl * kl + weights.latent_consistency * cons) / d
+            metrics = {"reconstruction": recon, "laplacian": lap,
+                       "kl": kl / d, "latent_consistency": cons / d}
+            return loss, metrics
+
+        def device_step(state, tables, lt, x, key):
+            (_, metrics), grads = jax.value_and_grad(
+                device_loss, has_aux=True)(state.params, tables, lt, x, key)
+            grads = jax.lax.psum(grads, VERTEX_AXIS)
+            metrics = jax.lax.psum(metrics, VERTEX_AXIS)
+            metrics["tot"] = (metrics["reconstruction"]
+                              + weights.kl * metrics["kl"]
+                              + weights.latent_consistency
+                              * metrics["latent_consistency"]
+                              + weights.laplacian * metrics["laplacian"])
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   clf_params=state.clf_params,
+                                   clf_opt_state=state.clf_opt_state,
+                                   epoch=state.epoch)
+            return new_state, metrics
+
+        step = shard_map(
+            device_step, mesh=self.mesh,
+            in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS),
+                      P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+
+        @jax.jit
+        def run(state, x_sharded, key):
+            return step(state, tables, lt, x_sharded, key)
+
+        return run
 
     # ------------------------------------------------------------------
     def make_forward(self):

@@ -91,6 +91,17 @@ def resume_checkpoint(checkpoint_dir: str, state):
                  "epoch": epoch}, opt_blob)
             opt_state = opt["opt_state"]
             clf_opt_state = opt["clf_opt_state"]
+            # model_%08d.ckpt and the rolling optimizer.ckpt are written
+            # atomically but not as a pair; a crash between the two leaves
+            # a newer model with an older optimizer state
+            stored_epoch = int(opt["epoch"])
+            if stored_epoch != epoch:
+                print(f"WARNING: optimizer.ckpt is from epoch "
+                      f"{stored_epoch} but the latest model checkpoint is "
+                      f"epoch {epoch} (crash between paired writes?); "
+                      "reinitializing optimizer state")
+                opt_state = state.opt_state
+                clf_opt_state = state.clf_opt_state
         except ValueError:
             raw = serialization.msgpack_restore(opt_blob)
             opt_state = serialization.from_state_dict(

@@ -43,7 +43,7 @@ class TestGoldenForward:
 
 
 class TestEighBackends:
-    def test_lobpcg_matches_scipy(self):
+    def test_cheby_matches_scipy_small(self):
         from craniofacialsd_vae_tpu.geometry.synthetic import \
             synthetic_template
         from craniofacialsd_vae_tpu.ops.eigh import \
@@ -54,9 +54,35 @@ class TestEighBackends:
         vals_s, vecs_s = laplacian_eigendecomposition(tpl, k,
                                                       backend="scipy")
         vals_l, vecs_l = laplacian_eigendecomposition(tpl, k,
-                                                      backend="lobpcg")
+                                                      backend="cheby")
         np.testing.assert_allclose(np.sort(vals_l), np.sort(vals_s),
-                                   rtol=1e-2, atol=1e-3)
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_cheby_real_template_k32(self):
+        """The flagship on-accelerator eigensolver at the real 17k template:
+        k≥30 eigenpairs at rtol ≤ 1e-4 against scipy (the 30 spectral
+        coefficients are what augmentation actually uses, reference
+        utils.py:249,264)."""
+        import os
+
+        ply = "/root/reference/demo_files/template.ply"
+        if not os.path.exists(ply):
+            pytest.skip("reference demo template unavailable")
+        from craniofacialsd_vae_tpu.geometry import load_template
+        from craniofacialsd_vae_tpu.ops.eigh import (
+            _chebyshev_smallest, _scipy_eigsh)
+
+        tpl = load_template(ply)
+        k = 32
+        vals_s, vecs_s = _scipy_eigsh(tpl, k)
+        vals_c, vecs_c, info = _chebyshev_smallest(tpl, k)
+        assert info["max_residual"] < 1e-3
+        # index 0 is the zero eigenvalue (constant vector) — atol covers it
+        np.testing.assert_allclose(vals_c, vals_s, rtol=1e-4, atol=1e-8)
+        # the computed invariant subspace matches scipy's: the overlap
+        # matrix of the two orthonormal bases must be (near-)orthogonal
+        ov = vecs_c.T @ vecs_s
+        np.testing.assert_allclose(ov @ ov.T, np.eye(k), atol=1e-4)
 
     def test_dense_matches_scipy_small(self):
         from craniofacialsd_vae_tpu.geometry.synthetic import \

@@ -123,6 +123,57 @@ class TestVertexShardedForward:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5),
             g_ref, g_shard)
 
+    def test_train_step_matches_unsharded(self, setup):
+        """One full vertex-sharded training step (swap + recon + KL +
+        Laplacian + latent-consistency losses + Adam) produces the same
+        parameter update as the unsharded step on 8 virtual devices."""
+        import optax
+
+        from craniofacialsd_vae_tpu.models import SpiralGeometry
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from craniofacialsd_vae_tpu.training import (LossWeights,
+                                                     create_train_state)
+        from craniofacialsd_vae_tpu.training.trainer import make_train_step
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b = 3
+        weights = LossWeights(kl=1e-4, laplacian=0.1, latent_consistency=0.5)
+        opt = optax.adam(1e-2)
+        key = jax.random.PRNGKey(11)
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(b, n, 3)).astype(np.float32)
+
+        ref_step = make_train_step(config, weights, opt, batch_size=b,
+                                   swap=True)
+        # the jitted step donates its input state — hand it a copy so the
+        # module-scoped fixture params stay alive for later tests
+        ref_state = create_train_state(
+            jax.tree.map(jnp.array, params), opt)
+        ref_state, ref_metrics = ref_step(ref_state, geom, jnp.asarray(x),
+                                          None, None, key)
+
+        d = 8
+        mesh = Mesh(np.array(jax.devices()[:d]), (VERTEX_AXIS,))
+        model = VertexShardedModel(bundle, config, mesh)
+        step = model.make_train_step(weights, opt, batch_size=b, swap=True)
+        state = create_train_state(params, opt)
+        x_vm = np.swapaxes(x, 0, 1)                     # vertex-major
+        x_sharded = jnp.asarray(model.shard_vertices(x_vm))
+        state, metrics = step(state, x_sharded, key)
+
+        for k in ("reconstruction", "kl", "laplacian", "latent_consistency",
+                  "tot"):
+            np.testing.assert_allclose(float(metrics[k]),
+                                       float(ref_metrics[k]),
+                                       rtol=2e-3, atol=1e-6), k
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-5),
+            ref_state.params, state.params)
+
     def test_matches_unsharded(self, setup):
         from craniofacialsd_vae_tpu.models import forward
         from craniofacialsd_vae_tpu.parallel.vertex_sharding import (

@@ -27,6 +27,23 @@ def main():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all visible devices")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host (DCN) data parallelism: "
+                             "jax.distributed.initialize, global mesh over "
+                             "all hosts' devices, per-host batch slices "
+                             "(launch the same command on every host)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port for --multihost "
+                             "(omit on TPU pods, which auto-configure)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu); the axon "
+                             "TPU plugin ignores JAX_PLATFORMS so this goes "
+                             "through jax.config")
+    parser.add_argument("--virtual_devices", type=int, default=None,
+                        help="with --platform=cpu: provision N virtual "
+                             "host devices (sharding smoke tests)")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override optimization.epochs")
     parser.add_argument("--profile", action="store_true",
@@ -54,8 +71,21 @@ def main():
         from craniofacialsd_vae_tpu.viz.logging import JsonlWriter
         writer = JsonlWriter(os.path.join(output_dir, "logs"))
 
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={args.virtual_devices}")
+
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
-    jax = setup_jax()
+    jax = setup_jax(platform=args.platform)
+
+    if args.multihost:
+        from craniofacialsd_vae_tpu.parallel import initialize_multihost
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     print(f"devices: {jax.devices()}")
 
@@ -72,20 +102,30 @@ def main():
     manager.set_class_conversions_and_weights(class_weights)
 
     batch_size = config["optimization"]["batch_size"]
-    if args.data_parallel:
+    if args.data_parallel or args.multihost:
         manager.enable_data_parallel()
         batch_size *= jax.device_count()
     # keep small in-memory splits resident on device (per-step H2D uploads
     # otherwise dominate the epoch); shard_map paths feed host arrays
-    device_resident = (not args.data_parallel
+    device_resident = (not (args.data_parallel or args.multihost)
                        and train_set.x.nbytes < 1 << 30)
     make_iter = DeviceBatchIterator if device_resident else BatchIterator
     train_iter = make_iter(train_set, batch_size, shuffle=True,
                            class2idx=manager._class2idx_dict)
     val_iter = make_iter(val_set, batch_size, shuffle=True,
                          class2idx=manager._class2idx_dict)
+    if args.multihost:
+        # every process iterates the same global order (same seed) and
+        # feeds only its local slice of each batch
+        from craniofacialsd_vae_tpu.parallel import MultihostBatchIterator
+        train_iter = MultihostBatchIterator(train_iter, manager.mesh)
+        val_iter = MultihostBatchIterator(val_iter, manager.mesh)
 
-    vis_batch = next(iter(train_iter))
+    # rendering/logging consume host arrays; under multihost take the
+    # host-local base batch (the global jax.Array isn't fully addressable
+    # on any single process)
+    vis_batch = next(iter(train_iter.base if args.multihost else train_iter))
+    is_primary = jax.process_index() == 0
     start_epoch = manager.resume(checkpoint_dir) if args.resume else 0
     epochs = config["optimization"]["epochs"]
     log_freq = config["logging_frequency"]
@@ -110,10 +150,10 @@ def main():
         if args.profile and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
 
-        if (epoch + 1) % log_freq["tb_renderings"] == 0:
+        if (epoch + 1) % log_freq["tb_renderings"] == 0 and is_primary:
             manager.log_images(vis_batch, writer, epoch, normalization,
                                "train", error_max_scale=2)
-        if (epoch + 1) % log_freq["save_weights"] == 0:
+        if (epoch + 1) % log_freq["save_weights"] == 0 and is_primary:
             manager.save_weights(checkpoint_dir, epoch)
         if (epoch + 1) % max(epochs // 10, 1) == 0:
             dt = time.time() - t0
@@ -121,13 +161,18 @@ def main():
                   f"tot={manager._losses['tot']:.4f} "
                   f"({dt / (epoch - start_epoch + 1):.2f}s/epoch)")
 
-    manager.save_weights(checkpoint_dir, epochs - 1)
+    if is_primary:
+        manager.save_weights(checkpoint_dir, epochs - 1)
+    # classifier fitting encodes per-mesh on one device — use the config's
+    # batch size, NOT the data-parallel-inflated one (a global batch larger
+    # than the val split would drop_last every batch and encode nothing)
+    clf_bs = manager.batch_size
     manager.train_and_validate_classifiers(
-        BatchIterator(train_set, batch_size, shuffle=False,
+        BatchIterator(train_set, clf_bs, shuffle=False,
                       class2idx=manager._class2idx_dict),
-        BatchIterator(val_set, batch_size, shuffle=False,
+        BatchIterator(val_set, clf_bs, shuffle=False,
                       class2idx=manager._class2idx_dict),
-        writer, checkpoint_dir)
+        writer, checkpoint_dir if is_primary else None)
 
     from craniofacialsd_vae_tpu.analysis.tester import compute_latent_stats
     compute_latent_stats(manager, output_dir)
