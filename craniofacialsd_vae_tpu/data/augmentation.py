@@ -39,10 +39,13 @@ def interpolate(x1, x2, value):
 def _spectral_swap_batch(eigvecs, x1, x2, selectors):
     """x1, x2: [P, N, 3]; selectors: [P, k] {0,1} mask of coefficients to
     take from x2. Returns U(s1 ⊕ s2-masked)."""
-    s1 = jnp.einsum("nk,pnc->pkc", eigvecs, x1)
-    s2 = jnp.einsum("nk,pnc->pkc", eigvecs, x2)
+    s1 = jnp.einsum("nk,pnc->pkc", eigvecs, x1,
+                    precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.einsum("nk,pnc->pkc", eigvecs, x2,
+                    precision=jax.lax.Precision.HIGHEST)
     s3 = jnp.where(selectors[:, :, None] > 0, s2, s1)
-    return jnp.einsum("nk,pkc->pnc", eigvecs, s3)
+    return jnp.einsum("nk,pkc->pnc", eigvecs, s3,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spectral_combination(eigvecs: np.ndarray, x1, x2, rng: np.random.Generator):
@@ -63,11 +66,14 @@ def spectral_combination(eigvecs: np.ndarray, x1, x2, rng: np.random.Generator):
 
 @jax.jit
 def _spectral_interp_batch(eigvecs, x1, x2, values, interp_mask):
-    s1 = jnp.einsum("nk,pnc->pkc", eigvecs, x1)
-    s2 = jnp.einsum("nk,pnc->pkc", eigvecs, x2)
+    s1 = jnp.einsum("nk,pnc->pkc", eigvecs, x1,
+                    precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.einsum("nk,pnc->pkc", eigvecs, x2,
+                    precision=jax.lax.Precision.HIGHEST)
     s3 = s1 + values[:, :, None] * (s2 - s1)
     s4 = jnp.where(interp_mask[None, :, None] > 0, s3, s1)
-    return jnp.einsum("nk,pkc->pnc", eigvecs, s4)
+    return jnp.einsum("nk,pkc->pnc", eigvecs, s4,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spectral_interpolation(eigvecs: np.ndarray, x1, x2,

@@ -156,14 +156,18 @@ def _chebyshev_smallest(template, k, degree: int = 80, max_passes: int = 12,
 
     @jax.jit
     def rayleigh_ritz(x):
-        q, _ = jnp.linalg.qr(x)
-        w = lap_mv(q)
-        gram = q.T @ w
-        gram = (gram + gram.T) / 2.0
-        theta, s = jnp.linalg.eigh(gram)
-        v = q @ s
-        resid = jnp.linalg.norm(lap_mv(v) - v * theta[None, :], axis=0)
-        return v, theta, resid
+        # TPU matmuls default to bf16 passes — that noise floor (~1e-2)
+        # would cap the subspace accuracy; the orthogonalization and the
+        # projected problem must run true fp32
+        with jax.default_matmul_precision("float32"):
+            q, _ = jnp.linalg.qr(x)
+            w = lap_mv(q)
+            gram = q.T @ w
+            gram = (gram + gram.T) / 2.0
+            theta, s = jnp.linalg.eigh(gram)
+            v = q @ s
+            resid = jnp.linalg.norm(lap_mv(v) - v * theta[None, :], axis=0)
+            return v, theta, resid
 
     t0 = time.perf_counter()
     x = jax.random.normal(jax.random.PRNGKey(seed), (n, block),
@@ -265,7 +269,8 @@ def laplacian_eigendecomposition(template, k: int = 500,
 @jax.jit
 def spectral_project(eigvecs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """s = Uᵀ x — [N, k]ᵀ @ [..., N, 3] → [..., k, 3]."""
-    return jnp.einsum("nk,...nc->...kc", eigvecs, x)
+    return jnp.einsum("nk,...nc->...kc", eigvecs, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
@@ -274,4 +279,5 @@ def spectral_reconstruct(eigvecs: jnp.ndarray, x: jnp.ndarray,
                          s_new: jnp.ndarray) -> jnp.ndarray:
     """x + U (s_new - s_orig): replace the truncated spectrum of x without
     losing the unmodeled high-frequency residual."""
-    return x + jnp.einsum("nk,...kc->...nc", eigvecs, s_new - s_orig)
+    return x + jnp.einsum("nk,...kc->...nc", eigvecs, s_new - s_orig,
+                          precision=jax.lax.Precision.HIGHEST)

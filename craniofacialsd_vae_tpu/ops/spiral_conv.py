@@ -37,23 +37,34 @@ class SpiralOp:
     The combined table matters: per-position transposes pad to K_l each
     (Σ K_l ≈ 44 rows/vertex on the craniofacial template) while one table
     over all positions pads to the true in-degree (K ≈ 16) — ~2.5× less
-    transpose gather traffic."""
-    gathers: list               # L × GatherRows
+    transpose gather traffic.
+
+    Spiral sequences start at the center vertex itself (SpiralNet++
+    convention, reference compute_spirals.py:34-61), so for non-composed
+    tables position 0 is the identity permutation: its gather entry is
+    None, the forward uses x directly, and the backward adds dy·W₀ᵀ
+    without a transpose table — one ninth less gather traffic in both
+    directions of the largest (full-resolution decoder) convs."""
+    gathers: list               # L × (GatherRows | None for identity)
     inv_tables: list            # per column-group: CappedEll over vertices
-    group_slices: tuple         # per group: (l_start, l_end)
+    group_cols: tuple           # per group: tuple of spiral positions
+    identity_cols: tuple        # spiral positions that are the identity
     seq_length: int
 
     def tree_flatten(self):
         return (self.gathers, self.inv_tables), \
-            (self.group_slices, self.seq_length)
+            (self.group_cols, self.identity_cols, self.seq_length)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
 
     @property
     def num_vertices(self):
-        return self.gathers[0].idx.shape[0]
+        for g in self.gathers:
+            if g is not None:
+                return g.idx.shape[0]
+        raise ValueError("degenerate spiral op")
 
 
 def build_spiral_op(spirals: np.ndarray,
@@ -78,20 +89,28 @@ def build_spiral_op(spirals: np.ndarray,
     if bwd_group_size is None:
         bwd_group_size = l
 
+    arange = np.arange(m)
+    identity_cols = tuple(
+        i for i in range(l)
+        if n == m and np.array_equal(spirals[:, i], arange))
+    other_cols = [i for i in range(l) if i not in identity_cols]
+
     inv_tables = []
-    group_slices = []
-    for s in range(0, l, bwd_group_size):
-        e = min(s + bwd_group_size, l)
-        # vertex m ← flat positions p = (l_local)·N + n, l ∈ [s, e)
-        targets = spirals[:, s:e].T.reshape(-1)
-        positions = np.arange((e - s) * m)
+    group_cols = []
+    for s in range(0, len(other_cols), bwd_group_size):
+        cols = other_cols[s:s + bwd_group_size]
+        # vertex m ← flat positions p = (l_local)·N + n over this group
+        targets = spirals[:, cols].T.reshape(-1)
+        positions = np.arange(len(cols) * m)
         inv_tables.append(capped_ell(targets, positions,
-                                     np.ones((e - s) * m), n))
-        group_slices.append((s, e))
+                                     np.ones(len(cols) * m), n))
+        group_cols.append(tuple(cols))
     return SpiralOp(
-        gathers=[gather_op_from_idx(spirals[:, i], n) for i in range(l)],
-        inv_tables=inv_tables, group_slices=tuple(group_slices),
-        seq_length=l)
+        gathers=[None if i in identity_cols
+                 else gather_op_from_idx(spirals[:, i], n)
+                 for i in range(l)],
+        inv_tables=inv_tables, group_cols=tuple(group_cols),
+        identity_cols=identity_cols, seq_length=l)
 
 
 def init_spiral_conv(key, in_channels: int, out_channels: int,
@@ -107,7 +126,9 @@ def init_spiral_conv(key, in_channels: int, out_channels: int,
 
 def spiral_gather(x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
     """[N, ..., C] → [N, ..., L*C] gathered spiral neighborhoods."""
-    return jnp.concatenate([gather_rows(g, x) for g in op.gathers], axis=-1)
+    return jnp.concatenate(
+        [x if g is None else gather_rows(g, x) for g in op.gathers],
+        axis=-1)
 
 
 def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
@@ -127,7 +148,8 @@ def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
 def _spiral_conv_core(w_l, b, x, op: SpiralOp):
     out = b
     for i, g in enumerate(op.gathers):
-        out = out + gather_rows(g, x) @ w_l[i]
+        xi = x if g is None else gather_rows(g, x)
+        out = out + xi @ w_l[i]
     return out
 
 
@@ -141,14 +163,19 @@ def _score_bwd(res, dy):
     # dx: scatter of dy @ W_lᵀ over the spiral structure = combined gathers,
     # one per column group (bounds the materialized dg tensor). dg is laid
     # out l-major within each group to match the tables' flat positions.
+    # Identity positions skip the table entirely: dx += dy @ W_lᵀ.
     dx = None
-    for table, (s, e) in zip(op.inv_tables, op.group_slices):
-        dg = jnp.einsum("nbo,lco->lnbc", dy, w_l[s:e])   # [g, M, B, C]
-        part = table.apply(dg.reshape((e - s) * m, *dg.shape[2:]))
+    for table, cols in zip(op.inv_tables, op.group_cols):
+        dg = jnp.einsum("nbo,lco->lnbc", dy,
+                        w_l[jnp.asarray(cols)])          # [g, M, B, C]
+        part = table.apply(dg.reshape(len(cols) * m, *dg.shape[2:]))
+        dx = part if dx is None else dx + part
+    for i in op.identity_cols:
+        part = jnp.einsum("nbo,co->nbc", dy, w_l[i])
         dx = part if dx is None else dx + part
     # dW: recompute the cheap forward gathers instead of saving residuals
     dw_l = jnp.stack([
-        jnp.einsum("nbc,nbo->co", gather_rows(g, x), dy)
+        jnp.einsum("nbc,nbo->co", x if g is None else gather_rows(g, x), dy)
         for g in op.gathers])
     db = jnp.sum(dy, axis=tuple(range(dy.ndim - 1)))
     return dw_l, db, dx, None
