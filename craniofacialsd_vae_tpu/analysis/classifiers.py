@@ -181,51 +181,78 @@ class QDAClassifier:
 @dataclass
 class LDAClassifier:
     """Linear discriminant analysis with a 2-D discriminant projection
-    (reference uses n_components=2, store_covariance=True)."""
+    (reference uses n_components=2, store_covariance=True).
+
+    Fitting whitens the pooled within-class scatter via a rank-truncated
+    thin SVD of the centered data and solves for the discriminant axes in
+    that subspace (the classical Fisher/`svd`-solver formulation). This is
+    essential in the flagship regime — 75-dim latents, tens of training
+    samples — where the pooled covariance has rank n−C < D: inverting it
+    (or pinv-ing, as round 2 initially did) amplifies null-space noise and
+    cost the trained run half its LDA test accuracy."""
     means: np.ndarray = None       # [C, D]
     cov: np.ndarray = None         # [D, D] pooled within-class
     priors: np.ndarray = None
     classes: np.ndarray = None
-    scalings: np.ndarray = None    # [D, n_components]
+    scalings: np.ndarray = None    # [D, r] full discriminant basis
     xbar: np.ndarray = None        # overall weighted mean
+    coef: np.ndarray = None        # [C, D] decision hyperplanes
+    intercept: np.ndarray = None   # [C]
     n_components: int = 2
+    tol: float = 1e-4
 
     def fit(self, x: np.ndarray, y: np.ndarray) -> "LDAClassifier":
+        x = np.asarray(x, np.float64)
         self.classes = np.unique(y)
         c = len(self.classes)
-        d = x.shape[1]
-        means, priors = [], []
-        sw = np.zeros((d, d))
+        n = len(x)
+        means, priors, centered = [], [], []
         for cl in self.classes:
             xc = x[y == cl]
             means.append(xc.mean(axis=0))
-            priors.append(len(xc) / len(x))
-            diff = xc - xc.mean(axis=0)
-            sw += diff.T @ diff
+            priors.append(len(xc) / n)
+            centered.append(xc - xc.mean(axis=0))
         self.means = np.stack(means)
         self.priors = np.asarray(priors)
-        self.cov = sw / (len(x) - c)              # pooled, bias-corrected
         self.xbar = self.priors @ self.means
+        xw = np.concatenate(centered)            # within-class centered rows
+        fac = 1.0 / max(n - c, 1)
+        self.cov = (xw.T @ xw) * fac             # pooled (store_covariance)
 
-        # between-class scatter, eigen-solve Sw^-1 Sb for the projection
-        sb = np.zeros((d, d))
-        for i in range(c):
-            dm = (self.means[i] - self.xbar)[:, None]
-            sb += self.priors[i] * (dm @ dm.T)
-        evals, evecs = np.linalg.eig(
-            np.linalg.solve(self.cov + 1e-8 * np.eye(d), sb))
-        order = np.argsort(evals.real)[::-1]
-        k = min(self.n_components, c - 1)
-        self.scalings = evecs.real[:, order[:k]]
+        # Σ_w^(-1/2) restricted to the data span: per-dim standardization,
+        # thin SVD, drop singular values below tol (absolute, post-scaling).
+        std = xw.std(axis=0)
+        std[std == 0] = 1.0
+        _, s, vt = np.linalg.svd(np.sqrt(fac) * (xw / std),
+                                 full_matrices=False)
+        rank = max(int(np.sum(s > self.tol)), 1)
+        whiten = (vt[:rank] / std).T / s[:rank]  # [D, rank]
+
+        # Between-class directions inside the whitened subspace.
+        mw = (np.sqrt(n * self.priors * fac)[:, None]
+              * (self.means - self.xbar)) @ whiten
+        _, sb, vbt = np.linalg.svd(mw, full_matrices=False)
+        rank_b = max(int(np.sum(sb > self.tol * sb[0])), 1) \
+            if sb.size and sb[0] > 0 else 1
+        self.scalings = whiten @ vbt[:rank_b].T  # [D, rank_b]
         # normalize sign for determinism: largest-magnitude entry positive
         for j in range(self.scalings.shape[1]):
             i = np.argmax(np.abs(self.scalings[:, j]))
             if self.scalings[i, j] < 0:
                 self.scalings[:, j] *= -1
+
+        proj = (self.means - self.xbar) @ self.scalings  # [C, rank_b]
+        self.intercept = -0.5 * np.sum(proj ** 2, axis=1) \
+            + np.log(self.priors)
+        self.coef = proj @ self.scalings.T               # [C, D]
+        self.intercept = self.intercept - self.xbar @ self.coef.T
         return self
 
     def decision_function(self, x: np.ndarray) -> np.ndarray:
         x = np.atleast_2d(x)
+        if self.coef is not None:
+            return x @ self.coef.T + self.intercept
+        # legacy path (pre-round-2 npz checkpoints store only means/cov)
         sol = QDAClassifier._solve_cov(self.cov, self.means.T)  # [D, C]
         linear = x @ sol
         const = -0.5 * np.einsum("cd,dc->c", self.means, sol) + \
@@ -239,7 +266,8 @@ class LDAClassifier:
         return float(np.mean(self.predict(x) == y))
 
     def transform(self, x: np.ndarray) -> np.ndarray:
-        return (np.atleast_2d(x) - self.xbar) @ self.scalings
+        return (np.atleast_2d(x) - self.xbar) \
+            @ self.scalings[:, :self.n_components]
 
     @classmethod
     def from_sklearn(cls, skl) -> "LDAClassifier":
@@ -249,27 +277,41 @@ class LDAClassifier:
         c.priors = np.asarray(skl.priors_)
         c.classes = np.asarray(skl.classes_)
         c.xbar = np.asarray(getattr(skl, "xbar_", c.priors @ c.means))
-        c.scalings = np.asarray(skl.scalings_)[:, :c.n_components]
+        c.scalings = np.asarray(skl.scalings_)
+        if getattr(skl, "coef_", None) is not None:
+            c.coef = np.asarray(skl.coef_)
+            c.intercept = np.asarray(skl.intercept_)
         c._sklearn_transform = True
         return c
 
     def transform_sklearn_style(self, x: np.ndarray) -> np.ndarray:
-        """Exactly sklearn's svd-solver transform: (x - xbar_) @ scalings_."""
-        return (np.atleast_2d(x) - self.xbar) @ self.scalings
+        """Exactly sklearn's svd-solver transform: (x - xbar_) @ scalings_,
+        truncated to n_components."""
+        return (np.atleast_2d(x) - self.xbar) \
+            @ self.scalings[:, :self.n_components]
 
     def to_arrays(self, prefix=""):
-        return {f"{prefix}means": self.means, f"{prefix}cov": self.cov,
-                f"{prefix}priors": self.priors,
-                f"{prefix}classes": self.classes,
-                f"{prefix}scalings": self.scalings,
-                f"{prefix}xbar": self.xbar}
+        out = {f"{prefix}means": self.means, f"{prefix}cov": self.cov,
+               f"{prefix}priors": self.priors,
+               f"{prefix}classes": self.classes,
+               f"{prefix}scalings": self.scalings,
+               f"{prefix}xbar": self.xbar}
+        if self.coef is not None:
+            out[f"{prefix}coef"] = self.coef
+            out[f"{prefix}intercept"] = self.intercept
+        return out
 
     @classmethod
     def from_arrays(cls, z, prefix=""):
         return cls(means=z[f"{prefix}means"], cov=z[f"{prefix}cov"],
                    priors=z[f"{prefix}priors"],
                    classes=z[f"{prefix}classes"],
-                   scalings=z[f"{prefix}scalings"], xbar=z[f"{prefix}xbar"])
+                   scalings=z[f"{prefix}scalings"], xbar=z[f"{prefix}xbar"],
+                   coef=z.get(f"{prefix}coef")
+                   if hasattr(z, "get") else
+                   (z[f"{prefix}coef"] if f"{prefix}coef" in z else None),
+                   intercept=z[f"{prefix}intercept"]
+                   if f"{prefix}intercept" in z else None)
 
 
 # ---------------------------------------------------------------------------

@@ -7,8 +7,13 @@ and runs the selected experiment:
   standard     — full suite: traversals, embeddings, generation, classifier
                  metrics, reconstruction + diversity → eval_metrics.json
   traversals | embeddings | generation | classifiers | recon — individually
+  refit_classifiers — refit the zoo from the resumed model's latents
+  interpolate  — per-feature / per-variable / all-features latent walks
+  classify_and_project — diagnose --mesh and overlay onto the embeddings
   planning     — surgical planning for --mesh (syndrome → healthy walk)
   prepost      — pre/post assessment for --mesh (pre) and --mesh2 (post)
+  prepost_batch — every pair in --pairs_excel under --pairs_root, with
+                 per-syndrome region/angle boxplots (reference default)
   fit          — fit an unregistered scan: --mesh + --landmarks json
 """
 
@@ -28,6 +33,10 @@ def main():
     parser.add_argument("--mesh2", type=str, default=None)
     parser.add_argument("--landmarks", type=str, default=None)
     parser.add_argument("--procedure", type=str, default="monobloc")
+    parser.add_argument("--pairs_root", type=str, default=None,
+                        help="prepost_batch: directory of pre/post meshes")
+    parser.add_argument("--pairs_excel", type=str, default=None,
+                        help="prepost_batch: xlsx/csv pair table")
     args = parser.parse_args()
 
     output_dir = os.path.join(args.output_path, "outputs", args.id)
@@ -114,6 +123,16 @@ def main():
             {k: (v if not isinstance(v, dict) else "…")
              for k, v in metrics.items()}, indent=1, default=str))
         tester.compute_and_save_postop_mesh_colourmap(args.mesh, args.mesh2)
+    elif exp == "prepost_batch":
+        # the reference's default experiment (test.py:1495-1497): every
+        # pre/post pair listed in an xlsx/csv table, with per-syndrome
+        # region-metric boxplots (incl. the angle variants)
+        assert args.pairs_root and args.pairs_excel, \
+            "--pairs_root and --pairs_excel required"
+        tester.evaluate_all_pre_post_pairs_in_excel(args.pairs_root,
+                                                    args.pairs_excel)
+        print("pre/post batch evaluation written to "
+              f"{os.path.join(output_dir, 'pre_post_eval_plots')}")
     elif exp == "fit":
         assert args.mesh and args.landmarks, "--mesh + --landmarks required"
         result = tester.fit_mesh(args.mesh, args.landmarks)

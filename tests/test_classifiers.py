@@ -95,6 +95,33 @@ class TestLDA:
         skl = LinearDiscriminantAnalysis(n_components=2).fit(x, y)
         assert np.mean(mine.predict(x) == skl.predict(x)) > 0.99
 
+    def test_rank_deficient_matches_sklearn(self):
+        """75-dim latents, 12 samples/class, weak separation — the pooled
+        covariance has rank n−C < D. The round-2 pinv decision rule lost
+        half its accuracy here (cranio600 LDA scored 0.5); the SVD solver
+        must match sklearn's decision function exactly."""
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+        from craniofacialsd_vae_tpu.analysis import LDAClassifier
+
+        rng = np.random.default_rng(11)
+        d, ntr, nte = 75, 12, 8
+        cm = rng.normal(size=(4, d)) * 0.8
+        xs_tr, ys_tr, xs_te, ys_te = [], [], [], []
+        for c in range(4):
+            pts = cm[c] + rng.normal(size=(ntr + nte, d))
+            xs_tr.append(pts[:ntr]); ys_tr.append(np.full(ntr, c))
+            xs_te.append(pts[ntr:]); ys_te.append(np.full(nte, c))
+        xtr, ytr = np.concatenate(xs_tr), np.concatenate(ys_tr)
+        xte, yte = np.concatenate(xs_te), np.concatenate(ys_te)
+
+        mine = LDAClassifier().fit(xtr, ytr)
+        skl = LinearDiscriminantAnalysis(store_covariance=True).fit(xtr, ytr)
+        np.testing.assert_array_equal(mine.predict(xte), skl.predict(xte))
+        np.testing.assert_allclose(mine.decision_function(xte),
+                                   skl.decision_function(xte),
+                                   rtol=1e-5, atol=1e-5)
+        assert mine.score(xte, yte) >= 0.9
+
     def test_transform_separates_classes(self, blobs):
         from craniofacialsd_vae_tpu.analysis import LDAClassifier
 
