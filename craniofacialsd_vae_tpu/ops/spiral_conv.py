@@ -165,9 +165,13 @@ def _score_bwd(res, dy):
     # out l-major within each group to match the tables' flat positions.
     # Identity positions skip the table entirely: dx += dy @ W_lᵀ.
     dx = None
+    # jnp.take (not w_l[...]): w_l may be a closure-constant Literal (e.g.
+    # numpy params resumed from a checkpoint), whose __getitem__ cannot
+    # accept a traced index array
     for table, cols in zip(op.inv_tables, op.group_cols):
         dg = jnp.einsum("nbo,lco->lnbc", dy,
-                        w_l[jnp.asarray(cols)])          # [g, M, B, C]
+                        jnp.take(jnp.asarray(w_l), jnp.asarray(cols),
+                                 axis=0))                # [g, M, B, C]
         part = table.apply(dg.reshape(len(cols) * m, *dg.shape[2:]))
         dx = part if dx is None else dx + part
     for i in op.identity_cols:

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import re
 
+import jax
+import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "latest_checkpoint", "resume_checkpoint"]
@@ -111,8 +113,21 @@ def resume_checkpoint(checkpoint_dir: str, state):
 
     from .trainer import TrainState
 
-    new_state = TrainState(params=model["params"], opt_state=opt_state,
-                           clf_params=model["clf_params"],
-                           clf_opt_state=clf_opt_state, epoch=epoch)
+    # upload restored leaves (msgpack gives numpy) to device arrays: one
+    # H2D now instead of per-dispatch constant re-uploads, and numpy params
+    # closed over by jitted eval fns would otherwise become Literals whose
+    # __getitem__ rejects traced indices
+    import jax.numpy as jnp
+
+    def _to_device(tree):
+        return jax.tree.map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+            tree)
+
+    new_state = TrainState(params=_to_device(model["params"]),
+                           opt_state=_to_device(opt_state),
+                           clf_params=_to_device(model["clf_params"]),
+                           clf_opt_state=_to_device(clf_opt_state),
+                           epoch=epoch)
     print(f"Resume from epoch {epoch}")
     return new_state, epoch

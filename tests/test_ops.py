@@ -133,6 +133,33 @@ class TestSpiralConv:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
                                                     atol=1e-5), g1, g2)
 
+    def test_grad_with_numpy_closure_params(self, rng):
+        """Checkpoint-resume regression: params restored from msgpack are
+        numpy arrays; closed over by a jitted grad-of-x function they
+        become jaxpr Literals, whose __getitem__ rejects traced indices —
+        the identity-column backward must not fancy-index w_l directly.
+        Spirals start with the identity column (SpiralNet++ convention) to
+        exercise the grouped backward path that failed."""
+        from craniofacialsd_vae_tpu.ops import (build_spiral_op,
+                                                init_spiral_conv,
+                                                spiral_conv)
+
+        n, l, c_in, c_out = 12, 4, 2, 3
+        spirals = rng.integers(0, n, size=(n, l))
+        spirals[:, 0] = np.arange(n)                 # identity position
+        op = build_spiral_op(spirals)
+        params = jax.tree.map(np.asarray, init_spiral_conv(
+            jax.random.PRNGKey(2), c_in, c_out, l))  # numpy, like resume
+
+        @jax.jit
+        def grad_x(x):
+            return jax.grad(
+                lambda x: jnp.sum(spiral_conv(params, x, op) ** 2))(x)
+
+        x = jnp.asarray(rng.normal(size=(n, 2, c_in)).astype(np.float32))
+        g = grad_x(x)                                # must trace cleanly
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestPool:
     def test_selection_pool(self, rng):
