@@ -394,6 +394,23 @@ class DeviceBatchIterator:
                     [self.class2idx[y] for y in batch["y"]], np.int32)
             yield batch
 
+    def epoch_plan(self):
+        """One epoch as a device-side plan for the scanned train step:
+        (x_dev [n, N, 3], idx [steps, B], labels [steps, B] | None).
+        Advances the shuffle RNG exactly like one __iter__ pass."""
+        n = len(self.arrays)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        steps = stop // self.batch_size
+        idx = order[:steps * self.batch_size].reshape(steps,
+                                                      self.batch_size)
+        labels = None
+        if self.class2idx is not None:
+            lab_all = np.asarray(
+                [self.class2idx[y] for y in self.arrays.y], np.int32)
+            labels = lab_all[idx]
+        return self._x_dev, idx.astype(np.int32), labels
+
 
 class BatchIterator:
     """Host-side batcher: shuffled fixed-size numpy batches, drop_last

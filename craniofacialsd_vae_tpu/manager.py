@@ -107,6 +107,7 @@ class ModelManager:
             self.net_config, self.loss_weights, self.optimizer,
             self.batch_size, swap=self.swap_features,
             clf_optimizer=self.clf_optimizer)
+        self._scanned_step = None      # built lazily on first scanned epoch
         self._eval_step = make_eval_step(
             self.net_config, self.loss_weights, self.batch_size,
             swap=self.swap_features)
@@ -243,7 +244,16 @@ class ModelManager:
 
         Metrics stay on device and accumulate asynchronously — a single
         host sync per epoch, not 7 blocking transfers per step (device↔host
-        round-trips dominate wall time on tunneled TPUs)."""
+        round-trips dominate wall time on tunneled TPUs). Device-resident
+        iterators train the whole epoch inside ONE lax.scan dispatch
+        (make_scanned_train_step): per-step dispatches each cross the
+        host↔device link, which under tunnel jitter can cost more than the
+        step itself."""
+        if train and hasattr(batch_iter, "epoch_plan") and \
+                getattr(batch_iter, "drop_last", False) and \
+                self._global_batch_size == self.batch_size:
+            # (data-parallel epochs keep the per-step shard_map path)
+            return self._run_epoch_scanned(batch_iter)
         totals = None
         count = 0
         for batch in batch_iter:
@@ -274,6 +284,32 @@ class ModelManager:
         else:
             totals = jax.device_get(totals)   # one sync
             self._losses = {k: float(totals[k]) / count for k in LOSS_KEYS}
+        return self._losses
+
+    def _run_epoch_scanned(self, batch_iter) -> dict:
+        """Whole epoch in one dispatch; key schedule identical to the
+        per-step path (fold_in(epoch_key, running step counter))."""
+        from .training import make_scanned_train_step
+
+        x_dev, idx, labels = batch_iter.epoch_plan()
+        steps = idx.shape[0]
+        if steps == 0:
+            self._losses = {k: 0.0 for k in LOSS_KEYS}
+            return self._losses
+        if self._scanned_step is None:
+            self._scanned_step = make_scanned_train_step(
+                self.net_config, self.loss_weights, self.optimizer,
+                self.batch_size, swap=self.swap_features,
+                clf_optimizer=self.clf_optimizer)
+        step_ids = self._step_counter + 1 + jnp.arange(steps)
+        self._step_counter += steps
+        lab = jnp.asarray(labels) if (labels is not None
+                                      and self._mlp_end2end) else None
+        self.state, metrics = self._scanned_step(
+            self.state, self.geometry, x_dev, jnp.asarray(idx), step_ids,
+            lab, self._class_weights, self._epoch_key)
+        metrics = jax.device_get(metrics)     # one sync
+        self._losses = {k: float(metrics[k]) for k in LOSS_KEYS}
         return self._losses
 
     def log_losses(self, writer, epoch: int, phase: str = "train"):

@@ -26,7 +26,8 @@ from .losses import (kl_divergence_loss, laplacian_loss,
                      weighted_cross_entropy)
 
 __all__ = ["LossWeights", "TrainState", "create_train_state",
-           "make_train_step", "make_eval_step", "LOSS_KEYS"]
+           "make_train_step", "make_scanned_train_step", "make_eval_step",
+           "LOSS_KEYS"]
 
 LOSS_KEYS = ["reconstruction", "kl", "latent_consistency", "laplacian",
              "classification", "classification_acc", "tot"]
@@ -135,15 +136,11 @@ def _compute_losses(params, clf_params, geom: SpiralGeometry,
     return loss_tot, metrics
 
 
-def make_train_step(config: SDVAEConfig, weights: LossWeights,
+def _build_raw_step(config: SDVAEConfig, weights: LossWeights,
                     optimizer, batch_size: int, swap: bool = True,
                     clf_optimizer=None, axis_name: str | None = None):
-    """Build the jitted train step.
-
-    step(state, geom, x [B,N,3], labels [B] | None, class_weights, key)
-      → (state, metrics). With axis_name set, gradients are psum-averaged
-    across that mesh axis (for use under shard_map).
-    """
+    """The un-jitted train step shared by make_train_step (per-dispatch)
+    and make_scanned_train_step (whole epochs in one dispatch)."""
 
     def step(state: TrainState, geom: SpiralGeometry, x, labels,
              class_weights, key):
@@ -191,9 +188,70 @@ def make_train_step(config: SDVAEConfig, weights: LossWeights,
                                epoch=state.epoch)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(config: SDVAEConfig, weights: LossWeights,
+                    optimizer, batch_size: int, swap: bool = True,
+                    clf_optimizer=None, axis_name: str | None = None):
+    """Build the jitted train step.
+
+    step(state, geom, x [B,N,3], labels [B] | None, class_weights, key)
+      → (state, metrics). With axis_name set, gradients are psum-averaged
+    across that mesh axis (for use under shard_map).
+    """
+    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
+                           clf_optimizer, axis_name)
     if axis_name is None:
         return jax.jit(step, donate_argnums=(0,))
     return step
+
+
+def make_scanned_train_step(config: SDVAEConfig, weights: LossWeights,
+                            optimizer, batch_size: int, swap: bool = True,
+                            clf_optimizer=None):
+    """Whole-epoch training in ONE compiled dispatch: `lax.scan` over the
+    per-step train step, slicing batches on device from the resident split.
+
+    epoch(state, geom, data_x [n, N, 3], idx [S, B], step_ids [S],
+          labels [S, B] | None, class_weights, key)
+      → (state, metrics averaged over the S steps).
+
+    Per-step dispatches cross the host↔device link once per step — on a
+    tunneled TPU that round-trip is ~1 ms *quiet* and tens of ms under
+    network jitter, i.e. up to ~2× of the 11 ms step wasted off-device.
+    A scanned epoch costs one dispatch and one metric fetch regardless of
+    step count, and matches the per-step path update-for-update (same
+    fold_in key schedule; tests/test_training.py asserts parity).
+    """
+    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
+                           clf_optimizer, None)
+
+    def epoch(state: TrainState, geom: SpiralGeometry, data_x, idx,
+              step_ids, labels, class_weights, key):
+        def body(s, xs):
+            idx_t, sid_t, lab_t = xs
+            x = jnp.take(data_x, idx_t, axis=0)
+            k = jax.random.fold_in(key, sid_t)
+            s, metrics = step(s, geom, x, lab_t, class_weights, k)
+            return s, metrics
+
+        xs = (idx, step_ids,
+              labels if labels is not None
+              else jnp.zeros((idx.shape[0],), jnp.int32))
+        if labels is None:
+            def body_nolab(s, xs):
+                idx_t, sid_t, _ = xs
+                x = jnp.take(data_x, idx_t, axis=0)
+                k = jax.random.fold_in(key, sid_t)
+                s, metrics = step(s, geom, x, None, class_weights, k)
+                return s, metrics
+            state, metrics = jax.lax.scan(body_nolab, state, xs)
+        else:
+            state, metrics = jax.lax.scan(body, state, xs)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def make_eval_step(config: SDVAEConfig, weights: LossWeights,

@@ -203,6 +203,53 @@ class TestTrainStep:
                 first = float(metrics["tot"])
         assert float(metrics["tot"]) < first
 
+    def test_scanned_epoch_matches_per_step(self, rng):
+        """make_scanned_train_step (whole epoch in one lax.scan dispatch)
+        must reproduce the per-step path update-for-update: same batches,
+        same fold_in key schedule → same final params and mean metrics."""
+        import optax
+        from craniofacialsd_vae_tpu.models import SDVAEConfig, init_sdvae
+        from craniofacialsd_vae_tpu.training import (
+            LossWeights, create_train_state, make_scanned_train_step,
+            make_train_step)
+
+        geom = _tiny_geometry(rng)
+        config = SDVAEConfig(out_channels=(8, 16), latent_size=6)
+        params = init_sdvae(jax.random.PRNGKey(0), config, geom)
+        opt = optax.adam(1e-2)
+        weights = LossWeights(kl=1e-4, laplacian=0.1,
+                              latent_consistency=0.5)
+        b, steps = 3, 5
+        n = geom.region_masks.shape[1]
+        data = jnp.asarray(rng.normal(size=(12, n, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 12, size=(steps, b)), jnp.int32)
+        key = jax.random.PRNGKey(7)
+        step_ids = 1 + jnp.arange(steps)
+
+        step = make_train_step(config, weights, opt, batch_size=b,
+                               swap=True)
+        # both paths donate their state; give each its own buffers
+        state_a = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        tots = []
+        for t in range(steps):
+            x = jnp.take(data, idx[t], axis=0)
+            state_a, m = step(state_a, geom, x, None, None,
+                              jax.random.fold_in(key, 1 + t))
+            tots.append(float(m["tot"]))
+
+        epoch = make_scanned_train_step(config, weights, opt,
+                                        batch_size=b, swap=True)
+        state_b = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        state_b, metrics = epoch(state_b, geom, data, idx, step_ids, None,
+                                 None, key)
+
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(a, c, rtol=1e-5,
+                                                    atol=1e-6),
+            state_a.params, state_b.params)
+        np.testing.assert_allclose(float(metrics["tot"]),
+                                   np.mean(tots), rtol=1e-5)
+
     def test_eval_step_deterministic(self, rng):
         import optax
         from craniofacialsd_vae_tpu.models import SDVAEConfig, init_sdvae
