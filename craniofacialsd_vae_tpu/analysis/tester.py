@@ -1093,10 +1093,13 @@ class Tester:
         ax.figure.savefig(os.path.join(out_dir,
                                        "region_metrics_distances.svg"))
 
-        # per-syndrome angle-metric boxplots (reference test.py:952-971)
+        # per-syndrome angle-metric boxplots (reference test.py:952-971;
+        # matched case-insensitively — the reference requires exactly
+        # "Apert"/"Crouzon" in the xlsx)
         rdf_a = pd.DataFrame(region_rows_a).fillna(0)
         for syndrome in ("Apert", "Crouzon"):
-            sub = rdf_a[rdf_a["Syndrome"] == syndrome]
+            sub = rdf_a[rdf_a["Syndrome"].astype(str).str.lower()
+                        == syndrome.lower()]
             if not len(sub):
                 continue
             plt.close("all")
