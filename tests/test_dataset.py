@@ -120,6 +120,39 @@ class TestAugmentation:
         assert not np.allclose(out, x1) and not np.allclose(out, x2)
         assert np.abs(out).max() < 10 * np.abs(x1).max()
 
+    def test_spectral_comb_mode(self, mesh_dir):
+        """spectral_comb swaps a random third of the first 30 coefficients
+        (reference utils.py:244-253): every output coefficient must equal
+        either x1's or x2's, and coefficients beyond the first 30 must be
+        untouched (always x1's)."""
+        from craniofacialsd_vae_tpu.data.augmentation import (SWAP_UNTIL,
+                                                              augment_pairs)
+        from craniofacialsd_vae_tpu.ops.eigh import \
+            laplacian_eigendecomposition
+
+        root, tpl = mesh_dir
+        _, eigvecs = laplacian_eigendecomposition(tpl, k=40,
+                                                  backend="scipy")
+        rng = np.random.default_rng(3)
+        x1 = tpl.pos[None].astype(np.float32)
+        # perturb every spectral coefficient so the "which parent" test is
+        # unambiguous per coefficient
+        x2 = (tpl.pos + eigvecs @ rng.normal(
+            size=(eigvecs.shape[1], 3)) * 0.05)[None].astype(np.float32)
+        out, tags = augment_pairs("spectral_comb", x1, x2, rng, eigvecs)
+        assert tags == ["_spectral_comb"]
+        assert np.isfinite(out).all()
+
+        s1 = np.einsum("nk,nc->kc", eigvecs, x1[0])
+        s2 = np.einsum("nk,nc->kc", eigvecs, x2[0])
+        s_out = np.einsum("nk,nc->kc", eigvecs, out[0])
+        scale = np.abs(s1).max()
+        from1 = np.abs(s_out - s1).max(axis=1) < 1e-4 * scale
+        from2 = np.abs(s_out - s2).max(axis=1) < 1e-4 * scale
+        assert (from1 | from2).all()                  # each coeff is a swap
+        assert from1[SWAP_UNTIL:].all()               # tail untouched
+        assert from2[:SWAP_UNTIL].sum() == SWAP_UNTIL // 3  # exactly 1/3
+
     def test_offline_augmentation_writes_files(self, mesh_dir,
                                                tmp_path_factory):
         from craniofacialsd_vae_tpu.data.dataset import build_datasets
