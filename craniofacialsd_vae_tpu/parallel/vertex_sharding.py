@@ -140,8 +140,12 @@ class VertexShardedModel:
         self.config = config
         self.mesh = mesh
         self._bundle = bundle
-        d = mesh.devices.size
+        # on a 2-D (data × vertex) mesh, tables shard over the vertex axis
+        # only (and replicate across data)
+        d = dict(mesh.shape).get(VERTEX_AXIS, mesh.devices.size)
         self.n_devices = d
+        self.data_axis = next((a for a in mesh.shape
+                               if a != VERTEX_AXIS), None)
 
         counts = bundle.vertex_counts
         self.counts = counts
@@ -294,6 +298,14 @@ class VertexShardedModel:
 
         step(state, x_sharded [D·S₀, B, 3], key) → (state, metrics).
 
+        On a 2-D (data × vertex) mesh the same step composes DP with
+        vertex sharding: x is [D_v·S₀, D_d·B, 3] (vertex dim sharded over
+        'vertex', batch dim over 'data'), each data shard builds its own
+        swap grid from the shared key, vertex shards psum their
+        partitioned loss terms and data shards pmean the resulting
+        gradients — DP over ICI and SP halo exchanges from one compiled
+        program.
+
         Locality split: reconstruction and the Laplacian regularizer are
         per-vertex local (computed on each shard, masked to real rows,
         psum'd); KL and latent-consistency live on the replicated latent —
@@ -376,11 +388,25 @@ class VertexShardedModel:
                        "kl": kl / d, "latent_consistency": cons / d}
             return loss, metrics
 
+        data_axis = self.data_axis if len(self.mesh.shape) > 1 else None
+
         def device_step(state, tables, lt, x, key):
+            if data_axis is not None:
+                # per-data-replica RNG (train_parallel.py:41-43 semantics):
+                # regions/noise decorrelate across data shards but stay
+                # identical across this replica's vertex shards
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(data_axis))
             (_, metrics), grads = jax.value_and_grad(
                 device_loss, has_aux=True)(state.params, tables, lt, x, key)
             grads = jax.lax.psum(grads, VERTEX_AXIS)
             metrics = jax.lax.psum(metrics, VERTEX_AXIS)
+            if data_axis is not None:
+                # DP composition: vertex shards SUM their partitioned loss
+                # terms, data shards AVERAGE their independent swap grids
+                # (same semantics as make_parallel_train_step's pmean)
+                grads = jax.lax.pmean(grads, data_axis)
+                metrics = jax.lax.pmean(metrics, data_axis)
             metrics["tot"] = (metrics["reconstruction"]
                               + weights.kl * metrics["kl"]
                               + weights.latent_consistency
@@ -395,9 +421,11 @@ class VertexShardedModel:
                                    epoch=state.epoch)
             return new_state, metrics
 
+        x_spec = P(VERTEX_AXIS, data_axis) if data_axis is not None \
+            else P(VERTEX_AXIS)
         step = shard_map(
             device_step, mesh=self.mesh,
-            in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS),
+            in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), x_spec,
                       P()),
             out_specs=(P(), P()),
             check_vma=False)

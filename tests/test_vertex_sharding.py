@@ -174,6 +174,61 @@ class TestVertexShardedForward:
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-5),
             ref_state.params, state.params)
 
+    def test_2d_mesh_composes_dp_with_vertex_sharding(self, setup):
+        """The same vertex-sharded step on a 2-D (data × vertex) mesh must
+        equal pure data-parallel training (make_parallel_train_step):
+        vertex shards psum partitioned loss terms, data shards pmean
+        gradients — one compiled program composing DP with the SP/CP
+        analog."""
+        import optax
+
+        from craniofacialsd_vae_tpu.parallel import (make_data_mesh,
+                                                     make_parallel_train_step)
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from craniofacialsd_vae_tpu.training import (LossWeights,
+                                                     create_train_state)
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b, d_data, d_vert = 2, 2, 4
+        weights = LossWeights(kl=1e-4, laplacian=0.1,
+                              latent_consistency=0.5)
+        opt = optax.adam(1e-2)
+        key = jax.random.PRNGKey(13)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(d_data * b, n, 3)).astype(np.float32)
+
+        # oracle: pure DP over a 2-device data mesh
+        dp_mesh = make_data_mesh(d_data)
+        dp_step = make_parallel_train_step(config, weights, opt,
+                                           batch_size=b, mesh=dp_mesh)
+        dp_state = create_train_state(jax.tree.map(jnp.array, params), opt)
+        dp_state, dp_metrics = dp_step(dp_state, geom, jnp.asarray(x),
+                                       None, None, key)
+
+        # composed: 2 data shards × 4 vertex shards
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(d_data, d_vert),
+                      ("data", VERTEX_AXIS))
+        model = VertexShardedModel(bundle, config, mesh2d)
+        assert model.n_devices == d_vert and model.data_axis == "data"
+        step = model.make_train_step(weights, opt, batch_size=b, swap=True)
+        state = create_train_state(jax.tree.map(jnp.array, params), opt)
+        x_vm = np.swapaxes(x, 0, 1)              # [N, d_data·B, 3]
+        x_sharded = jnp.asarray(model.shard_vertices(x_vm))
+        state, metrics = step(state, x_sharded, key)
+
+        for k in ("reconstruction", "kl", "laplacian",
+                  "latent_consistency", "tot"):
+            np.testing.assert_allclose(float(metrics[k]),
+                                       float(dp_metrics[k]),
+                                       rtol=2e-3, atol=1e-6), k
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-3, atol=3e-5),
+            dp_state.params, state.params)
+
     def test_matches_unsharded(self, setup):
         from craniofacialsd_vae_tpu.models import forward
         from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
