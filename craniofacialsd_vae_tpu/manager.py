@@ -108,6 +108,7 @@ class ModelManager:
             self.batch_size, swap=self.swap_features,
             clf_optimizer=self.clf_optimizer)
         self._scanned_step = None      # built lazily on first scanned epoch
+        self._scanned_epochs = None    # multi-epoch scan (run_epochs_scanned)
         self._eval_step = make_eval_step(
             self.net_config, self.loss_weights, self.batch_size,
             swap=self.swap_features)
@@ -285,6 +286,62 @@ class ModelManager:
             totals = jax.device_get(totals)   # one sync
             self._losses = {k: float(totals[k]) / count for k in LOSS_KEYS}
         return self._losses
+
+    def can_scan_epochs(self, train_iter, val_iter) -> bool:
+        """Multi-epoch scan path available? (device-resident iterators,
+        drop_last, no data-parallel inflation)."""
+        return (hasattr(train_iter, "epoch_plan")
+                and hasattr(val_iter, "epoch_plan")
+                and getattr(train_iter, "drop_last", False)
+                and getattr(val_iter, "drop_last", False)
+                and self._global_batch_size == self.batch_size
+                and len(train_iter) > 0 and len(val_iter) > 0)
+
+    def run_epochs_scanned(self, train_iter, val_iter, n_epochs: int):
+        """Train n_epochs (train steps + per-epoch validation) in ONE
+        compiled dispatch (training.make_scanned_train_epochs). Returns
+        (per-epoch train losses, per-epoch val losses) as lists of dicts;
+        key schedule identical to sequential run_epoch calls."""
+        from .training import make_scanned_train_epochs
+
+        tr_plans = [train_iter.epoch_plan() for _ in range(n_epochs)]
+        va_plans = [val_iter.epoch_plan() for _ in range(n_epochs)]
+        tr_x, va_x = tr_plans[0][0], va_plans[0][0]
+        tr_idx = np.stack([p[1] for p in tr_plans])       # [E, St, B]
+        va_idx = np.stack([p[1] for p in va_plans])
+        with_labels = bool(self._mlp_end2end
+                           and tr_plans[0][2] is not None)
+        tr_lab = jnp.asarray(np.stack([p[2] for p in tr_plans])) \
+            if with_labels else None
+        va_lab = jnp.asarray(np.stack([p[2] for p in va_plans])) \
+            if with_labels else None
+
+        st, sv = tr_idx.shape[1], va_idx.shape[1]
+        per = st + sv
+        base = self._step_counter
+        e_ar = np.arange(n_epochs)[:, None]
+        tr_sid = base + 1 + e_ar * per + np.arange(st)[None]
+        va_sid = base + 1 + e_ar * per + st + np.arange(sv)[None]
+        self._step_counter += n_epochs * per
+
+        if self._scanned_epochs is None:
+            self._scanned_epochs = make_scanned_train_epochs(
+                self.net_config, self.loss_weights, self.optimizer,
+                self.batch_size, swap=self.swap_features,
+                clf_optimizer=self.clf_optimizer, with_labels=with_labels)
+        self.state, tr_m, va_m = self._scanned_epochs(
+            self.state, self.geometry, tr_x, va_x,
+            jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
+            jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),
+            tr_lab, va_lab, self._class_weights, self._epoch_key)
+        tr_m = jax.device_get(tr_m)                       # one sync
+        va_m = jax.device_get(va_m)
+        tr_list = [{k: float(tr_m[k][e]) for k in LOSS_KEYS}
+                   for e in range(n_epochs)]
+        va_list = [{k: float(va_m[k][e]) for k in LOSS_KEYS}
+                   for e in range(n_epochs)]
+        self._losses = tr_list[-1]
+        return tr_list, va_list
 
     def _run_epoch_scanned(self, batch_iter) -> dict:
         """Whole epoch in one dispatch; key schedule identical to the

@@ -3,4 +3,5 @@ from .losses import (mse_loss, kl_divergence_loss, laplacian_loss,
                      region_feature_mask)
 from .trainer import (LossWeights, TrainState, create_train_state,
                       make_train_step, make_scanned_train_step,
-                      make_eval_step, LOSS_KEYS)
+                      make_scanned_train_epochs, make_eval_step,
+                      LOSS_KEYS)

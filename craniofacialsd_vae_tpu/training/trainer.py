@@ -26,8 +26,8 @@ from .losses import (kl_divergence_loss, laplacian_loss,
                      weighted_cross_entropy)
 
 __all__ = ["LossWeights", "TrainState", "create_train_state",
-           "make_train_step", "make_scanned_train_step", "make_eval_step",
-           "LOSS_KEYS"]
+           "make_train_step", "make_scanned_train_step",
+           "make_scanned_train_epochs", "make_eval_step", "LOSS_KEYS"]
 
 LOSS_KEYS = ["reconstruction", "kl", "latent_consistency", "laplacian",
              "classification", "classification_acc", "tot"]
@@ -254,11 +254,11 @@ def make_scanned_train_step(config: SDVAEConfig, weights: LossWeights,
     return jax.jit(epoch, donate_argnums=(0,))
 
 
-def make_eval_step(config: SDVAEConfig, weights: LossWeights,
-                   batch_size: int, swap: bool = True):
-    """Validation: same losses, no update, deterministic forward (z=mu)."""
+def _build_raw_eval(config: SDVAEConfig, weights: LossWeights,
+                    batch_size: int, swap: bool = True):
+    """Un-jitted validation step shared by make_eval_step and the
+    multi-epoch scan."""
 
-    @jax.jit
     def step(state: TrainState, geom: SpiralGeometry, x, labels,
              class_weights, key):
         k_region, k_reparam = jax.random.split(key)
@@ -278,3 +278,72 @@ def make_eval_step(config: SDVAEConfig, weights: LossWeights,
         return metrics
 
     return step
+
+
+def make_eval_step(config: SDVAEConfig, weights: LossWeights,
+                   batch_size: int, swap: bool = True):
+    """Validation: same losses, no update, deterministic forward (z=mu)."""
+    return jax.jit(_build_raw_eval(config, weights, batch_size, swap))
+
+
+def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
+                              optimizer, batch_size: int, swap: bool = True,
+                              clf_optimizer=None, with_labels: bool = False):
+    """MULTIPLE epochs — train steps AND per-epoch validation — in one
+    compiled dispatch (nested lax.scan: epochs over steps).
+
+    epochs_fn(state, geom, train_x [n_t, N, 3], val_x [n_v, N, 3],
+              tr_idx [E, St, B], tr_sid [E, St],
+              va_idx [E, Sv, B], va_sid [E, Sv],
+              tr_labels [E, St, B] | None, va_labels [E, Sv, B] | None,
+              class_weights, key)
+      → (state, train_metrics [E] per key, val_metrics [E] per key)
+
+    Rationale: on the tunneled runtime a dispatch+fetch round-trip costs
+    up to seconds while an epoch's compute is ~100 ms — the flagship
+    600-epoch schedule was >90% host overhead. Chunking E epochs into one
+    program amortizes that to one fetch per chunk; the key schedule
+    (fold_in of a running step id, validation ids following the epoch's
+    train ids) matches the sequential run_epoch path exactly.
+    """
+    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
+                           clf_optimizer, None)
+    eval_step = _build_raw_eval(config, weights, batch_size, swap)
+
+    def epochs_fn(state, geom, train_x, val_x, tr_idx, tr_sid, va_idx,
+                  va_sid, tr_labels, va_labels, class_weights, key):
+        def train_body(s, xs):
+            idx_t, sid_t, lab_t = xs
+            x = jnp.take(train_x, idx_t, axis=0)
+            k = jax.random.fold_in(key, sid_t)
+            return step(s, geom, x, lab_t if with_labels else None,
+                        class_weights, k)
+
+        def epoch_body(s, xs):
+            tr_i, tr_s, va_i, va_s, tr_l, va_l = xs
+            s, tr_m = jax.lax.scan(train_body, s, (tr_i, tr_s, tr_l))
+
+            def val_body(carry, vxs):
+                idx_t, sid_t, lab_t = vxs
+                x = jnp.take(val_x, idx_t, axis=0)
+                k = jax.random.fold_in(key, sid_t)
+                m = eval_step(s, geom, x,
+                              lab_t if with_labels else None,
+                              class_weights, k)
+                return carry, m
+
+            _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s, va_l))
+            return s, (jax.tree.map(lambda m: jnp.mean(m, axis=0), tr_m),
+                       jax.tree.map(lambda m: jnp.mean(m, axis=0), va_m))
+
+        zeros = jnp.zeros
+        tr_l = tr_labels if tr_labels is not None else \
+            zeros(tr_idx.shape[:2], jnp.int32)
+        va_l = va_labels if va_labels is not None else \
+            zeros(va_idx.shape[:2], jnp.int32)
+        state, (tr_all, va_all) = jax.lax.scan(
+            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid, tr_l,
+                                va_l))
+        return state, tr_all, va_all
+
+    return jax.jit(epochs_fn, donate_argnums=(0,))

@@ -157,3 +157,17 @@ def test_simplify_small_mesh():
     recon = up.matmul(coarse)
     # upsampled positions approximate the originals
     assert np.abs(recon - verts).mean() < 0.3
+
+    # weighted-cost variants (reference mesh_simplification.py:143-167):
+    # collapse cost is MULTIPLIED by the mean vertex weight, so
+    # high-weight vertices' edges collapse last — they must survive a
+    # 2× simplification — and edge-length weighting must still produce a
+    # valid hierarchy
+    w = np.full(len(verts), 1.0)
+    w[:3] = 1e6                     # expensive to collapse → kept
+    new_fw, down_w = simplify_mesh(verts, faces, edges, 2.0,
+                                   region_weights=w)
+    assert set(range(3)) <= set(down_w.cols.tolist())
+    new_fe, down_e = simplify_mesh(verts, faces, edges, 2.0,
+                                   edge_length_weighted=True)
+    assert new_fe.min() >= 0 and new_fe.max() < down_e.shape[0]

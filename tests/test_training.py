@@ -250,6 +250,69 @@ class TestTrainStep:
         np.testing.assert_allclose(float(metrics["tot"]),
                                    np.mean(tots), rtol=1e-5)
 
+    def test_multi_epoch_scan_matches_sequential(self, rng):
+        """make_scanned_train_epochs (E epochs + per-epoch validation in
+        one dispatch) must equal the sequential per-step train + eval
+        loop with the same step-id key schedule."""
+        import optax
+        from craniofacialsd_vae_tpu.models import SDVAEConfig, init_sdvae
+        from craniofacialsd_vae_tpu.training import (
+            LossWeights, create_train_state, make_eval_step,
+            make_scanned_train_epochs, make_train_step)
+
+        geom = _tiny_geometry(rng)
+        config = SDVAEConfig(out_channels=(8, 16), latent_size=6)
+        params = init_sdvae(jax.random.PRNGKey(0), config, geom)
+        opt = optax.adam(1e-2)
+        weights = LossWeights(kl=1e-4, laplacian=0.1,
+                              latent_consistency=0.5)
+        b, e_n, st, sv = 3, 2, 3, 2
+        n = geom.region_masks.shape[1]
+        tr_x = jnp.asarray(rng.normal(size=(9, n, 3)).astype(np.float32))
+        va_x = jnp.asarray(rng.normal(size=(6, n, 3)).astype(np.float32))
+        tr_idx = jnp.asarray(rng.integers(0, 9, size=(e_n, st, b)),
+                             jnp.int32)
+        va_idx = jnp.asarray(rng.integers(0, 6, size=(e_n, sv, b)),
+                             jnp.int32)
+        per = st + sv
+        e_ar = np.arange(e_n)[:, None]
+        tr_sid = jnp.asarray(1 + e_ar * per + np.arange(st)[None],
+                             jnp.int32)
+        va_sid = jnp.asarray(1 + e_ar * per + st + np.arange(sv)[None],
+                             jnp.int32)
+        key = jax.random.PRNGKey(17)
+
+        # sequential oracle
+        step = make_train_step(config, weights, opt, batch_size=b,
+                               swap=True)
+        estep = make_eval_step(config, weights, batch_size=b, swap=True)
+        state_a = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        va_tots = []
+        for e in range(e_n):
+            for t in range(st):
+                x = jnp.take(tr_x, tr_idx[e, t], axis=0)
+                state_a, _ = step(state_a, geom, x, None, None,
+                                  jax.random.fold_in(key, tr_sid[e, t]))
+            ms = []
+            for t in range(sv):
+                x = jnp.take(va_x, va_idx[e, t], axis=0)
+                ms.append(estep(state_a, geom, x, None, None,
+                                jax.random.fold_in(key, va_sid[e, t])))
+            va_tots.append(np.mean([float(m["tot"]) for m in ms]))
+
+        epochs_fn = make_scanned_train_epochs(config, weights, opt,
+                                              batch_size=b, swap=True)
+        state_b = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        state_b, tr_m, va_m = epochs_fn(state_b, geom, tr_x, va_x,
+                                        tr_idx, tr_sid, va_idx, va_sid,
+                                        None, None, None, key)
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(a, c, rtol=1e-5,
+                                                    atol=1e-6),
+            state_a.params, state_b.params)
+        np.testing.assert_allclose(np.asarray(va_m["tot"]), va_tots,
+                                   rtol=1e-5)
+
     def test_eval_step_deterministic(self, rng):
         import optax
         from craniofacialsd_vae_tpu.models import SDVAEConfig, init_sdvae

@@ -135,7 +135,48 @@ def main():
     t0 = time.time()
     grid = batch_size ** 2 if config["data"].get("swap_features") \
         else batch_size
-    for epoch in range(start_epoch, epochs):
+
+    print_cad = max(epochs // 10, 1)
+    use_chunks = (not args.profile
+                  and not (args.data_parallel or args.multihost)
+                  and manager.can_scan_epochs(train_iter, val_iter))
+    if use_chunks:
+        # Multi-epoch scan: train E epochs (train steps + per-epoch
+        # validation) per dispatch — on the tunneled runtime an epoch's
+        # host round-trips cost ~10× its compute. One fixed chunk size
+        # (gcd of the logging/checkpoint cadences) keeps to ONE compiled
+        # program; chunk boundaries land exactly on every cadence.
+        import math
+        chunk = max(math.gcd(log_freq["tb_renderings"],
+                             log_freq["save_weights"]), 1)
+        epoch = start_epoch
+        while epoch < epochs:
+            stop = min(epoch + chunk, epochs)
+            te = time.time()
+            tr_list, va_list = manager.run_epochs_scanned(
+                train_iter, val_iter, stop - epoch)
+            mps = (len(train_iter) * grid * (stop - epoch)
+                   / max(time.time() - te, 1e-9))
+            for i, e in enumerate(range(epoch, stop)):
+                writer.add_scalar("perf/meshes_per_sec", mps, e + 1)
+                for k, v in tr_list[i].items():
+                    writer.add_scalar(f"train/{k}", v, e + 1)
+                for k, v in va_list[i].items():
+                    writer.add_scalar(f"validation/{k}", v, e + 1)
+            prev, epoch = epoch, stop
+            if epoch % log_freq["tb_renderings"] == 0 and is_primary:
+                manager.log_images(vis_batch, writer, epoch - 1,
+                                   normalization, "train",
+                                   error_max_scale=2)
+            if epoch % log_freq["save_weights"] == 0 and is_primary:
+                manager.save_weights(checkpoint_dir, epoch - 1)
+            if epoch // print_cad > prev // print_cad:   # a print beat passed
+                dt = time.time() - t0
+                print(f"epoch {epoch}/{epochs} "
+                      f"tot={manager._losses['tot']:.4f} "
+                      f"({dt / (epoch - start_epoch):.2f}s/epoch)")
+
+    for epoch in range(epochs if use_chunks else start_epoch, epochs):
         if args.profile and epoch == start_epoch + 1:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         te = time.time()
