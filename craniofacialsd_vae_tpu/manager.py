@@ -108,7 +108,7 @@ class ModelManager:
             self.batch_size, swap=self.swap_features,
             clf_optimizer=self.clf_optimizer)
         self._scanned_step = None      # built lazily on first scanned epoch
-        self._scanned_epochs = None    # multi-epoch scan (run_epochs_scanned)
+        self._scanned_epochs = {}      # multi-epoch scans by with_labels
         self._eval_step = make_eval_step(
             self.net_config, self.loss_weights, self.batch_size,
             swap=self.swap_features)
@@ -252,8 +252,11 @@ class ModelManager:
         step itself."""
         if train and hasattr(batch_iter, "epoch_plan") and \
                 getattr(batch_iter, "drop_last", False) and \
-                self._global_batch_size == self.batch_size:
-            # (data-parallel epochs keep the per-step shard_map path)
+                getattr(batch_iter, "batch_size", None) == self.batch_size \
+                and self._global_batch_size == self.batch_size:
+            # (data-parallel epochs keep the per-step shard_map path; a
+            # mismatched iterator batch size falls through to the per-step
+            # guard below rather than feeding the wrong swap-grid shape)
             return self._run_epoch_scanned(batch_iter)
         totals = None
         count = 0
@@ -289,11 +292,14 @@ class ModelManager:
 
     def can_scan_epochs(self, train_iter, val_iter) -> bool:
         """Multi-epoch scan path available? (device-resident iterators,
-        drop_last, no data-parallel inflation)."""
+        drop_last, matching batch size, no data-parallel inflation)."""
         return (hasattr(train_iter, "epoch_plan")
                 and hasattr(val_iter, "epoch_plan")
                 and getattr(train_iter, "drop_last", False)
                 and getattr(val_iter, "drop_last", False)
+                and getattr(train_iter, "batch_size", None)
+                == self.batch_size
+                and getattr(val_iter, "batch_size", None) == self.batch_size
                 and self._global_batch_size == self.batch_size
                 and len(train_iter) > 0 and len(val_iter) > 0)
 
@@ -324,12 +330,12 @@ class ModelManager:
         va_sid = base + 1 + e_ar * per + st + np.arange(sv)[None]
         self._step_counter += n_epochs * per
 
-        if self._scanned_epochs is None:
-            self._scanned_epochs = make_scanned_train_epochs(
+        if with_labels not in self._scanned_epochs:
+            self._scanned_epochs[with_labels] = make_scanned_train_epochs(
                 self.net_config, self.loss_weights, self.optimizer,
                 self.batch_size, swap=self.swap_features,
                 clf_optimizer=self.clf_optimizer, with_labels=with_labels)
-        self.state, tr_m, va_m = self._scanned_epochs(
+        self.state, tr_m, va_m = self._scanned_epochs[with_labels](
             self.state, self.geometry, tr_x, va_x,
             jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
             jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),
@@ -340,7 +346,9 @@ class ModelManager:
                    for e in range(n_epochs)]
         va_list = [{k: float(va_m[k][e]) for k in LOSS_KEYS}
                    for e in range(n_epochs)]
-        self._losses = tr_list[-1]
+        # per-step parity: after run_epoch(train) + run_epoch(val) the
+        # manager's _losses hold the VALIDATION averages
+        self._losses = va_list[-1]
         return tr_list, va_list
 
     def _run_epoch_scanned(self, batch_iter) -> dict:

@@ -168,7 +168,8 @@ class TestVertexShardedForward:
                   "tot"):
             np.testing.assert_allclose(float(metrics[k]),
                                        float(ref_metrics[k]),
-                                       rtol=2e-3, atol=1e-6), k
+                                       rtol=2e-3, atol=1e-6,
+                                       err_msg=k)
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-5),
@@ -223,7 +224,8 @@ class TestVertexShardedForward:
                   "latent_consistency", "tot"):
             np.testing.assert_allclose(float(metrics[k]),
                                        float(dp_metrics[k]),
-                                       rtol=2e-3, atol=1e-6), k
+                                       rtol=2e-3, atol=1e-6,
+                                       err_msg=k)
         jax.tree.map(
             lambda a, c: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=5e-3, atol=3e-5),

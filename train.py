@@ -151,10 +151,14 @@ def main():
                              log_freq["save_weights"]), 1)
         epoch = start_epoch
         while epoch < epochs:
-            stop = min(epoch + chunk, epochs)
+            # align boundaries to absolute chunk multiples so cadence
+            # checks fire even when resuming from an unaligned epoch
+            stop = min(epoch + chunk - epoch % chunk, epochs)
             te = time.time()
             tr_list, va_list = manager.run_epochs_scanned(
                 train_iter, val_iter, stop - epoch)
+            # NB the chunk wall time includes per-epoch validation, so
+            # this scalar slightly understates pure-training throughput
             mps = (len(train_iter) * grid * (stop - epoch)
                    / max(time.time() - te, 1e-9))
             for i, e in enumerate(range(epoch, stop)):
