@@ -115,3 +115,47 @@ def test_full_cycle(workspace):
     imgs = manager.render(np.asarray(manager.generate(z_before)),
                           image_size=32)
     assert imgs.shape == (2, 32, 32, 3)
+
+
+def test_run_epochs_scanned_matches_sequential(workspace):
+    """manager.run_epochs_scanned (E epochs + validation in one dispatch)
+    must produce the same parameters and losses as sequential
+    run_epoch(train)/run_epoch(val) calls on device-resident iterators."""
+    import jax
+    import jax.numpy as jnp
+
+    from craniofacialsd_vae_tpu.data.dataset import (DeviceBatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    root, config = workspace
+
+    def fresh():
+        m = ModelManager(
+            config,
+            precomputed_storage_path=config["data"]["precomputed_path"])
+        train, val, *_ = build_datasets(config, m.template)
+        ti = DeviceBatchIterator(train, 2, shuffle=True, seed=3)
+        vi = DeviceBatchIterator(val, 2, shuffle=True, seed=4)
+        return m, ti, vi
+
+    m1, t1, v1 = fresh()
+    assert m1.can_scan_epochs(t1, v1)
+    tr_list, va_list = m1.run_epochs_scanned(t1, v1, 2)
+    assert len(tr_list) == len(va_list) == 2
+
+    m2, t2, v2 = fresh()
+    seq = []
+    for _ in range(2):
+        seq.append(dict(m2.run_epoch(t2, train=True)))
+        m2.run_epoch(v2, train=False)
+
+    for e in range(2):
+        np.testing.assert_allclose(tr_list[e]["tot"], seq[e]["tot"],
+                                   rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        m1.state.params, m2.state.params)
+    # validation losses surface like the sequential path (val averages)
+    assert m1._losses == va_list[-1]
