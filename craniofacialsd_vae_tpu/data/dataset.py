@@ -177,7 +177,8 @@ def _augment_train_list(root, train_list, template, summary, mode,
     if mode in ("spectral_comb", "spectral_interp"):
         from ..ops.eigh import laplacian_eigendecomposition
         print("[dataset] computing Laplacian eigenbasis (k=1000)…")
-        _, eigvecs = laplacian_eigendecomposition(template, k=1000)
+        _, eigvecs = laplacian_eigendecomposition(template, k=1000,
+                                                  cache_dir=root)
 
     classes: dict = {}
     for name in train_list:

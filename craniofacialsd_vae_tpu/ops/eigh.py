@@ -16,6 +16,8 @@ math) are plain matmuls that ride the MXU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,7 +216,8 @@ def _chebyshev_smallest(template, k, degree: int = 80, max_passes: int = 12,
 
 
 def laplacian_eigendecomposition(template, k: int = 500,
-                                 backend: str = "auto"):
+                                 backend: str = "auto",
+                                 cache_dir: str | None = None):
     """(eigenvalues [k], eigenvectors [N, k]) of the k smallest eigenpairs
     of the unnormalized graph Laplacian.
 
@@ -227,13 +230,40 @@ def laplacian_eigendecomposition(template, k: int = 500,
                         templates, Chebyshev subspace iteration for large
                         ones (the flagship 17k template included), scipy
                         only as residual-verified fallback.
+
+    cache_dir: persist the basis as an npz keyed by the mesh connectivity
+    digest and k — the basis only depends on the template, and the k=1000
+    flagship solve costs minutes; a cached basis with k' ≥ k is sliced.
     """
     n = template.num_vertices
+    cache_path = None
+    if cache_dir is not None:
+        import glob
+        import hashlib
+        os.makedirs(cache_dir, exist_ok=True)
+        digest = hashlib.sha1(
+            np.ascontiguousarray(template.face).tobytes()).hexdigest()[:12]
+        for path in sorted(glob.glob(os.path.join(
+                cache_dir, f"eigbasis_{n}_{digest}_k*.npz"))):
+            cached_k = int(path.rsplit("_k", 1)[1][:-4])
+            if cached_k >= k:
+                z = np.load(path)
+                return z["vals"][:k], z["vecs"][:, :k]
+        cache_path = os.path.join(cache_dir,
+                                  f"eigbasis_{n}_{digest}_k{k}.npz")
+
+    def _finish(vals, vecs):
+        if cache_path is not None:
+            tmp = cache_path + ".tmp"
+            with open(tmp, "wb") as f:     # keep np.savez off suffix games
+                np.savez(f, vals=np.asarray(vals), vecs=np.asarray(vecs))
+            os.replace(tmp, cache_path)
+        return vals, vecs
     if backend == "scipy":
-        return _scipy_eigsh(template, k)
+        return _finish(*_scipy_eigsh(template, k))
     if backend == "cheby":
         vals, vecs, _ = _chebyshev_smallest(template, k)
-        return vals, vecs
+        return _finish(vals, vecs)
     if backend == "auto" and n > 8192:
         # a dense N×N eigh operand overwhelms remote/AOT compile helpers well
         # before HBM is the limit — run the blocked-matvec Chebyshev solver
@@ -245,19 +275,19 @@ def laplacian_eigendecomposition(template, k: int = 500,
                   f"{info['seconds']:.1f}s, max residual "
                   f"{info['max_residual']:.2e}")
             if info["max_residual"] < 1e-3:
-                return vals, vecs
+                return _finish(vals, vecs)
             print("[eigh] residuals above tolerance; "
                   "falling back to scipy ARPACK")
         except Exception as e:
             print(f"[eigh] Chebyshev solver failed ({type(e).__name__}: {e})"
                   "; falling back to scipy ARPACK")
-        return _scipy_eigsh(template, k)
+        return _finish(*_scipy_eigsh(template, k))
 
     try:
         lap = unnormalized_laplacian_dense(n, template.edges)
         vals, vecs = jnp.linalg.eigh(jnp.asarray(lap))
         # ascending order: smallest k are the leading columns
-        return np.asarray(vals[:k]), np.asarray(vecs[:, :k])
+        return _finish(np.asarray(vals[:k]), np.asarray(vecs[:, :k]))
     except Exception as e:
         if backend == "tpu":
             raise

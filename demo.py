@@ -76,7 +76,8 @@ def main():
           "subspace iteration on-accelerator (reference: minutes of "
           "laptop ARPACK, README.md:68-69)…")
     t_eig = time.perf_counter()
-    _, eigvecs = laplacian_eigendecomposition(manager.template, k=500)
+    _, eigvecs = laplacian_eigendecomposition(manager.template, k=500,
+                                              cache_dir=args.out)
     print(f"eigenbasis ready in {time.perf_counter() - t_eig:.1f}s")
     rng = np.random.default_rng(0)
     aug = spectral_interpolation(eigvecs, v1[None], v2[None], rng)[0]
