@@ -28,7 +28,7 @@ _PALLAS_STATE = {"ok": None}      # tri-state: None = not yet probed
 
 def _pallas_raster_active() -> bool:
     """Use the Pallas z-buffer kernel (viz/raster_pallas.py) on TPU —
-    measured ~9× over the portable XLA rasterizer on the flagship
+    measured ~11× over the portable XLA rasterizer on the flagship
     template. Probed once with a tiny compile; any Mosaic rejection
     falls back to the portable path. Opt out: CFSDVAE_PALLAS_RASTER=0."""
     if os.environ.get("CFSDVAE_PALLAS_RASTER", "1") == "0":
