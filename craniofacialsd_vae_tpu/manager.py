@@ -108,7 +108,7 @@ class ModelManager:
             self.batch_size, swap=self.swap_features,
             clf_optimizer=self.clf_optimizer)
         self._scanned_step = None      # built lazily on first scanned epoch
-        self._scanned_epochs = {}      # multi-epoch scans by with_labels
+        self._scanned_epochs = None    # multi-epoch scan (run_epochs_scanned)
         self._eval_step = make_eval_step(
             self.net_config, self.loss_weights, self.batch_size,
             swap=self.swap_features)
@@ -330,12 +330,14 @@ class ModelManager:
         va_sid = base + 1 + e_ar * per + st + np.arange(sv)[None]
         self._step_counter += n_epochs * per
 
-        if with_labels not in self._scanned_epochs:
-            self._scanned_epochs[with_labels] = make_scanned_train_epochs(
+        if self._scanned_epochs is None:
+            # jit re-specializes on the labels pytree structure (None vs
+            # array), so one cached callable serves both variants
+            self._scanned_epochs = make_scanned_train_epochs(
                 self.net_config, self.loss_weights, self.optimizer,
                 self.batch_size, swap=self.swap_features,
-                clf_optimizer=self.clf_optimizer, with_labels=with_labels)
-        self.state, tr_m, va_m = self._scanned_epochs[with_labels](
+                clf_optimizer=self.clf_optimizer)
+        self.state, tr_m, va_m = self._scanned_epochs(
             self.state, self.geometry, tr_x, va_x,
             jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
             jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),

@@ -229,26 +229,16 @@ def make_scanned_train_step(config: SDVAEConfig, weights: LossWeights,
 
     def epoch(state: TrainState, geom: SpiralGeometry, data_x, idx,
               step_ids, labels, class_weights, key):
+        # labels may be None: scan treats a None xs leaf as an empty
+        # pytree and hands the body None back (jit re-specializes on the
+        # structure, so both variants share this one definition)
         def body(s, xs):
             idx_t, sid_t, lab_t = xs
             x = jnp.take(data_x, idx_t, axis=0)
             k = jax.random.fold_in(key, sid_t)
-            s, metrics = step(s, geom, x, lab_t, class_weights, k)
-            return s, metrics
+            return step(s, geom, x, lab_t, class_weights, k)
 
-        xs = (idx, step_ids,
-              labels if labels is not None
-              else jnp.zeros((idx.shape[0],), jnp.int32))
-        if labels is None:
-            def body_nolab(s, xs):
-                idx_t, sid_t, _ = xs
-                x = jnp.take(data_x, idx_t, axis=0)
-                k = jax.random.fold_in(key, sid_t)
-                s, metrics = step(s, geom, x, None, class_weights, k)
-                return s, metrics
-            state, metrics = jax.lax.scan(body_nolab, state, xs)
-        else:
-            state, metrics = jax.lax.scan(body, state, xs)
+        state, metrics = jax.lax.scan(body, state, (idx, step_ids, labels))
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
     return jax.jit(epoch, donate_argnums=(0,))
@@ -288,7 +278,7 @@ def make_eval_step(config: SDVAEConfig, weights: LossWeights,
 
 def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
                               optimizer, batch_size: int, swap: bool = True,
-                              clf_optimizer=None, with_labels: bool = False):
+                              clf_optimizer=None):
     """MULTIPLE epochs — train steps AND per-epoch validation — in one
     compiled dispatch (nested lax.scan: epochs over steps).
 
@@ -312,12 +302,13 @@ def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
 
     def epochs_fn(state, geom, train_x, val_x, tr_idx, tr_sid, va_idx,
                   va_sid, tr_labels, va_labels, class_weights, key):
+        # label arrays may be None: scan passes a None xs leaf through as
+        # None (empty pytree), so one body serves both variants
         def train_body(s, xs):
             idx_t, sid_t, lab_t = xs
             x = jnp.take(train_x, idx_t, axis=0)
             k = jax.random.fold_in(key, sid_t)
-            return step(s, geom, x, lab_t if with_labels else None,
-                        class_weights, k)
+            return step(s, geom, x, lab_t, class_weights, k)
 
         def epoch_body(s, xs):
             tr_i, tr_s, va_i, va_s, tr_l, va_l = xs
@@ -327,23 +318,16 @@ def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
                 idx_t, sid_t, lab_t = vxs
                 x = jnp.take(val_x, idx_t, axis=0)
                 k = jax.random.fold_in(key, sid_t)
-                m = eval_step(s, geom, x,
-                              lab_t if with_labels else None,
-                              class_weights, k)
-                return carry, m
+                return carry, eval_step(s, geom, x, lab_t, class_weights,
+                                        k)
 
             _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s, va_l))
             return s, (jax.tree.map(lambda m: jnp.mean(m, axis=0), tr_m),
                        jax.tree.map(lambda m: jnp.mean(m, axis=0), va_m))
 
-        zeros = jnp.zeros
-        tr_l = tr_labels if tr_labels is not None else \
-            zeros(tr_idx.shape[:2], jnp.int32)
-        va_l = va_labels if va_labels is not None else \
-            zeros(va_idx.shape[:2], jnp.int32)
         state, (tr_all, va_all) = jax.lax.scan(
-            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid, tr_l,
-                                va_l))
+            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid,
+                                tr_labels, va_labels))
         return state, tr_all, va_all
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
