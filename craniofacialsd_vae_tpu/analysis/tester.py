@@ -1191,11 +1191,7 @@ class Tester:
         geom = mgr.geometry
         config = mgr.net_config
 
-        def chamfer(a, b):
-            # [P,3] vs [Q,3] squared-dist chamfer, both directions
-            d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
-            return jnp.mean(jnp.min(d2, axis=1)) + \
-                jnp.mean(jnp.min(d2, axis=0))
+        from ..ops.distances import chamfer_distance as chamfer
 
         def losses(z):
             gen = from_vertex_major(decode(params, geom, config, z))

@@ -22,19 +22,29 @@ __all__ = ["nearest_dists_sq", "chamfer_distance", "point_mesh_distance",
 def nearest_dists_sq(x: jnp.ndarray, y: jnp.ndarray,
                      chunk: int = 4096) -> jnp.ndarray:
     """For each point in x [P, 3]: squared distance to its nearest neighbor
-    in y [Q, 3] (K=1 knn, reference _dist_closest_point)."""
+    in y [Q, 3] (K=1 knn, reference _dist_closest_point).
+
+    ‖x−y‖² expands to ‖x‖² + ‖y‖² − 2x·y, so the pairwise matrix is one
+    MXU matmul instead of a materialized [P, chunk, 3] difference tensor
+    (~70× less memory traffic at fit_mesh scale). fp32-precise matmul —
+    the default bf16 passes would blur nearest-neighbor ties. Padding uses
+    a large finite coordinate: inf would turn the cross term into
+    inf − inf = NaN."""
     q = y.shape[0]
     pad = (-q) % chunk
     y_pad = jnp.concatenate(
-        [y, jnp.full((pad, y.shape[1]), jnp.inf, y.dtype)], axis=0)
+        [y, jnp.full((pad, y.shape[1]), 1e9, y.dtype)], axis=0)
     y_chunks = y_pad.reshape(-1, chunk, y.shape[1])
+    x2 = jnp.sum(x * x, axis=-1)
 
     def body(best, yc):
-        d2 = jnp.sum((x[:, None, :] - yc[None, :, :]) ** 2, axis=-1)
+        d2 = (x2[:, None] + jnp.sum(yc * yc, axis=-1)[None, :]
+              - 2.0 * jnp.matmul(x, yc.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         return jnp.minimum(best, jnp.min(d2, axis=1)), None
 
     best, _ = jax.lax.scan(body, jnp.full(x.shape[0], jnp.inf), y_chunks)
-    return best
+    return jnp.maximum(best, 0.0)      # clamp fp cancellation residue
 
 
 def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -15,7 +15,9 @@ class TestNearest:
         d2 = np.asarray(nearest_dists_sq(jnp.asarray(x), jnp.asarray(y),
                                          chunk=32))
         ref = ((x[:, None] - y[None]) ** 2).sum(-1).min(axis=1)
-        np.testing.assert_allclose(d2, ref, rtol=1e-5)
+        # the MXU expansion form (|x|^2+|y|^2-2xy) carries ~1e-5 relative
+        # cancellation noise vs the difference form
+        np.testing.assert_allclose(d2, ref, rtol=1e-4, atol=1e-6)
 
 
 class TestChamfer:
