@@ -84,7 +84,11 @@ def sinkhorn_divergence(x: jnp.ndarray, y: jnp.ndarray,
     imports for mesh fitting, test.py:394 — its use is commented out there;
     provided here as a working option). Plain Sinkhorn in log-space."""
     p, q = x.shape[0], y.shape[0]
-    cost = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+    # expansion form: one MXU matmul instead of a [P, Q, 3] tensor
+    cost = jnp.maximum(
+        jnp.sum(x * x, -1)[:, None] + jnp.sum(y * y, -1)[None, :]
+        - 2.0 * jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST),
+        0.0)
     log_mu = jnp.full(p, -jnp.log(p))
     log_nu = jnp.full(q, -jnp.log(q))
 
