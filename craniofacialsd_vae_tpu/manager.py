@@ -316,7 +316,8 @@ class ModelManager:
         tr_idx = np.stack([p[1] for p in tr_plans])       # [E, St, B]
         va_idx = np.stack([p[1] for p in va_plans])
         with_labels = bool(self._mlp_end2end
-                           and tr_plans[0][2] is not None)
+                           and tr_plans[0][2] is not None
+                           and va_plans[0][2] is not None)
         tr_lab = jnp.asarray(np.stack([p[2] for p in tr_plans])) \
             if with_labels else None
         va_lab = jnp.asarray(np.stack([p[2] for p in va_plans])) \

@@ -27,9 +27,15 @@ def nearest_dists_sq(x: jnp.ndarray, y: jnp.ndarray,
     ‖x−y‖² expands to ‖x‖² + ‖y‖² − 2x·y, so the pairwise matrix is one
     MXU matmul instead of a materialized [P, chunk, 3] difference tensor
     (~70× less memory traffic at fit_mesh scale). fp32-precise matmul —
-    the default bf16 passes would blur nearest-neighbor ties. Padding uses
-    a large finite coordinate: inf would turn the cross term into
-    inf − inf = NaN."""
+    the default bf16 passes would blur nearest-neighbor ties. Both clouds
+    are centered on y's mean first: the expansion's cancellation error
+    scales with the squared coordinate magnitude, so a large frame offset
+    (world/mm coordinates) would otherwise put a noise floor under small
+    distances. Padding uses a large finite coordinate: inf would turn the
+    cross term into inf − inf = NaN."""
+    mu = jnp.mean(y, axis=0)
+    x = x - mu
+    y = y - mu
     q = y.shape[0]
     pad = (-q) % chunk
     y_pad = jnp.concatenate(

@@ -243,14 +243,16 @@ def laplacian_eigendecomposition(template, k: int = 500,
         os.makedirs(cache_dir, exist_ok=True)
         digest = hashlib.sha1(
             np.ascontiguousarray(template.face).tobytes()).hexdigest()[:12]
-        for path in sorted(glob.glob(os.path.join(
-                cache_dir, f"eigbasis_{n}_{digest}_k*.npz"))):
+        # backend is part of the key: an explicit backend request must not
+        # silently return a basis computed by a different solver
+        stem = f"eigbasis_{n}_{digest}_{backend}"
+        for path in sorted(glob.glob(os.path.join(cache_dir,
+                                                  f"{stem}_k*.npz"))):
             cached_k = int(path.rsplit("_k", 1)[1][:-4])
             if cached_k >= k:
                 z = np.load(path)
                 return z["vals"][:k], z["vecs"][:, :k]
-        cache_path = os.path.join(cache_dir,
-                                  f"eigbasis_{n}_{digest}_k{k}.npz")
+        cache_path = os.path.join(cache_dir, f"{stem}_k{k}.npz")
 
     def _finish(vals, vecs):
         if cache_path is not None:
@@ -293,7 +295,7 @@ def laplacian_eigendecomposition(template, k: int = 500,
             raise
         print(f"[eigh] dense on-accelerator eigh failed ({type(e).__name__})"
             "; falling back to scipy ARPACK")
-        return _scipy_eigsh(template, k)
+        return _finish(*_scipy_eigsh(template, k))
 
 
 @jax.jit

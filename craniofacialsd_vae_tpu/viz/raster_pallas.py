@@ -116,8 +116,8 @@ def _sweep_kernel(ymin_ref, ymax_ref, coef_ref, z_ref, idx_ref, *,
     are full [n_ptiles, TP] arrays resident in VMEM for the whole grid.
     ymin/ymax [n_tblocks] (SMEM): per-triangle-block y-bbox — when it
     misses this pixel tile's rows entirely, skip the sweep (the dominant
-    case: a 512-triangle block of a registered mesh spans few image
-    rows)."""
+    case: a _TRI_BLOCK-triangle block of a registered mesh spans few
+    image rows)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -167,7 +167,7 @@ def _sweep_kernel(ymin_ref, ymax_ref, coef_ref, z_ref, idx_ref, *,
 
 
 def _block_y_ranges(tri_y: jnp.ndarray, n_tblocks: int):
-    """[F, 3] triangle vertex y pixel coords → per-512-triangle-block
+    """[F, 3] triangle vertex y pixel coords → per-_TRI_BLOCK-block
     (ymin [n_tblocks], ymax [n_tblocks]). Conservative (wild coords from
     near-plane-clamped projections only widen bboxes); padding blocks get
     an empty range."""

@@ -26,7 +26,9 @@ class TestChamfer:
 
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
-        assert float(chamfer_distance(x, x)) < 1e-10
+        # the expansion form leaves ~1e-8 fp cancellation residue where
+        # the difference form was exactly 0
+        assert float(chamfer_distance(x, x)) < 1e-6
 
     def test_symmetric_and_batched(self):
         from craniofacialsd_vae_tpu.ops.distances import chamfer_distance

@@ -157,5 +157,8 @@ def test_run_epochs_scanned_matches_sequential(workspace):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         m1.state.params, m2.state.params)
-    # validation losses surface like the sequential path (val averages)
-    assert m1._losses == va_list[-1]
+    # validation losses surface like the sequential path (val averages):
+    # m2's last run_epoch was validation, so its _losses are the oracle
+    for k in ("reconstruction", "tot"):
+        np.testing.assert_allclose(m1._losses[k], m2._losses[k],
+                                   rtol=1e-5, err_msg=k)
