@@ -235,12 +235,29 @@ class Tester:
                 * z_range_multiplier
 
         s = save_suffix if save_suffix is not None else ""
+        # batched decode over dims in chunks (per-dim generate calls each
+        # pay a device fetch round-trip, ~1.3 s through the tunnel — 75 of
+        # them dominated the traversal sweep; a single 750-mesh decode
+        # exhausts HBM at full resolution, so chunk to ~80 meshes)
+        z_all = np.tile(z_means,
+                        (latent_size, n_steps, 1)).astype(np.float32)
+        for i in range(latent_size):
+            z_all[i, :, i] = np.linspace(z_mins[i], z_maxs[i], n_steps)
+        # largest divisor of latent_size within the memory budget keeps
+        # every decode the same shape (one compile)
+        cap = max(80 // n_steps, 1)
+        dims_per_chunk = max(
+            [d for d in range(1, cap + 1) if latent_size % d == 0])
+        chunks = []
+        for s0 in range(0, latent_size, dims_per_chunk):
+            zc = z_all[s0:s0 + dims_per_chunk].reshape(-1, latent_size)
+            chunks.append(np.asarray(self._manager.generate(zc)))
+        gen_all = np.concatenate(chunks).reshape(
+            latent_size, n_steps, -1, 3)
+
         all_frames, all_diff_renders, max_distances = [], [], []
         for i in range(latent_size):
-            z = np.tile(z_means, (n_steps, 1)).astype(np.float32)
-            z[:, i] = np.linspace(z_mins[i], z_maxs[i], n_steps)
-            gen = np.asarray(self._manager.generate(z))
-            gen = self._unnormalize(gen)
+            gen = self._unnormalize(gen_all[i])
             diffs = np.asarray(self._manager.compute_vertex_errors(
                 gen, np.broadcast_to(gen[0], gen.shape)))
             max_distances.append(diffs[-1])
