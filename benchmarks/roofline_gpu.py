@@ -112,6 +112,16 @@ def model_step():
     return flops, bytes_, kernels
 
 
+def upper_bound(gpu: str = "V100 SXM2") -> float:
+    """Modeled meshes/s upper bound for one GPU — the single source of
+    truth bench.py reads (keeping the recorded vs_gpu_roofline ratio in
+    lockstep with this model's constants)."""
+    flops, bytes_, kernels = model_step()
+    peak, bw = GPUS[gpu]
+    t = max(flops / peak, bytes_ / bw) + kernels * LAUNCH_US * 1e-6
+    return B / t
+
+
 def main():
     flops, bytes_, kernels = model_step()
     print(f"modeled step: {flops / 1e9:.2f} GFLOP, "

@@ -116,7 +116,16 @@ class Tester:
     """Standard evaluation suite runner (reference test.py:57-79)."""
 
     def __init__(self, manager, norm_dict, train_iter, test_iter,
-                 out_dir: str, config: dict):
+                 out_dir: str, config: dict, lazy_stats: bool = False):
+        """With lazy_stats=True the train-latent statistics are computed
+        on first use instead of at construction. The reference Tester
+        always encodes the full train set at init and pickles the result
+        (test.py:48, 95-117) — which, when the Tester is built *before*
+        training (as train.py does for the in-training traversal cadence),
+        caches untrained-model stats that the end-of-training
+        compute_latent_stats then reloads stale. Deferring fixes that while
+        keeping the same workflow: in-training traversals run with
+        use_z_stats=False and never touch the stats."""
         self._manager = manager
         self._norm = {k: np.asarray(v) for k, v in norm_dict.items()}
         self._normalized = config["data"].get("normalize_data", True)
@@ -126,11 +135,18 @@ class Tester:
         self._train_iter = train_iter
         self._test_iter = test_iter
         self._is_vae = manager.is_vae
-        self.latent_stats = compute_latent_stats(manager, out_dir,
-                                                 train_iter)
+        self._latent_stats = None if lazy_stats else \
+            compute_latent_stats(manager, out_dir, train_iter)
         self.template_landmarks_idx = list(TEMPLATE_LANDMARKS_IDX)
         self._image_size = 256
         self._background = 0.0
+
+    @property
+    def latent_stats(self) -> dict:
+        if self._latent_stats is None:
+            self._latent_stats = compute_latent_stats(
+                self._manager, self._out_dir, self._train_iter)
+        return self._latent_stats
 
     # ------------------------------------------------------------------
     def __call__(self):

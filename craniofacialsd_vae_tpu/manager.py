@@ -112,6 +112,7 @@ class ModelManager:
         self._eval_step = make_eval_step(
             self.net_config, self.loss_weights, self.batch_size,
             swap=self.swap_features)
+        self._build_inference_jits()
 
         self._latent_regions = latent_regions(
             self._model_params["latent_size"], self.template.region_names)
@@ -136,6 +137,8 @@ class ModelManager:
                                make_parallel_train_step)
 
         mesh = make_data_mesh(n_devices)
+        self._scanned_step = None      # rebuild scanned paths sharded
+        self._scanned_epochs = None
         self._train_step = make_parallel_train_step(
             self.net_config, self.loss_weights, self.optimizer,
             self.batch_size, mesh, swap=self.swap_features,
@@ -205,15 +208,40 @@ class ModelManager:
         return inv[int(idx)]
 
     # ------------------------------------------------------------------
-    # core model calls
+    # core model calls — jitted: the eager path paid per-op dispatch on
+    # every Tester/demo encode/decode (~30 ms through the tunnel vs ~2 ms
+    # compute); jit caches one compiled program per batch shape
+    def _build_inference_jits(self):
+        geom, config = self.geometry, self.net_config
+
+        @jax.jit
+        def _encode(params, x):                 # [B, N, 3] → [B, Z]
+            mu, _ = encode(params, geom, config, jnp.swapaxes(x, 0, 1))
+            return mu
+
+        @jax.jit
+        def _decode(params, z):                 # [B, Z] → [B, N, 3]
+            return jnp.swapaxes(decode(params, geom, config, z), 0, 1)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("training",))
+        def _forward(params, x, key, training=False):
+            out, z, mu, logvar = forward(params, geom, config,
+                                         jnp.swapaxes(x, 0, 1), key,
+                                         training)
+            return jnp.swapaxes(out, 0, 1), z, mu, logvar
+
+        self._jit_encode, self._jit_decode, self._jit_forward = \
+            _encode, _decode, _forward
+
     def encode(self, x) -> jnp.ndarray:
         """[B, N, 3] or [N, 3] → latents [B, Z] (deterministic, mu)."""
         x = jnp.asarray(x, jnp.float32)
         single = x.ndim == 2
         if single:
             x = x[None]
-        mu, _ = encode(self.state.params, self.geometry, self.net_config,
-                       jnp.swapaxes(x, 0, 1))
+        mu = self._jit_encode(self.state.params, x)
         return mu[0] if single else mu
 
     def generate(self, z) -> jnp.ndarray:
@@ -222,15 +250,13 @@ class ModelManager:
         single = z.ndim == 1
         if single:
             z = z[None]
-        out = decode(self.state.params, self.geometry, self.net_config, z)
-        out = jnp.swapaxes(out, 0, 1)
+        out = self._jit_decode(self.state.params, z)
         return out[0] if single else out
 
     def forward(self, x, key=None, training: bool = False):
-        x = jnp.swapaxes(jnp.asarray(x, jnp.float32), 0, 1)
-        out, z, mu, logvar = forward(self.state.params, self.geometry,
-                                     self.net_config, x, key, training)
-        return jnp.swapaxes(out, 0, 1), z, mu, logvar
+        return self._jit_forward(self.state.params,
+                                 jnp.asarray(x, jnp.float32), key,
+                                 training=training)
 
     def compute_vertex_errors(self, out_verts, gt_verts):
         """Per-vertex Euclidean error in mm (reference mm.py:395-400)."""
@@ -252,11 +278,13 @@ class ModelManager:
         step itself."""
         if train and hasattr(batch_iter, "epoch_plan") and \
                 getattr(batch_iter, "drop_last", False) and \
-                getattr(batch_iter, "batch_size", None) == self.batch_size \
-                and self._global_batch_size == self.batch_size:
-            # (data-parallel epochs keep the per-step shard_map path; a
-            # mismatched iterator batch size falls through to the per-step
-            # guard below rather than feeding the wrong swap-grid shape)
+                getattr(batch_iter, "batch_size", None) \
+                == self._global_batch_size:
+            # (a mismatched iterator batch size falls through to the
+            # per-step guard below rather than feeding the wrong
+            # swap-grid shape; under data parallelism the scanned step is
+            # the shard_map'd variant and the plan's global-batch columns
+            # are sharded over the mesh)
             return self._run_epoch_scanned(batch_iter)
         totals = None
         count = 0
@@ -292,15 +320,15 @@ class ModelManager:
 
     def can_scan_epochs(self, train_iter, val_iter) -> bool:
         """Multi-epoch scan path available? (device-resident iterators,
-        drop_last, matching batch size, no data-parallel inflation)."""
+        drop_last, iterator batch size matching the global compiled batch
+        — which under data parallelism is n_devices × batch_size)."""
+        gb = self._global_batch_size
         return (hasattr(train_iter, "epoch_plan")
                 and hasattr(val_iter, "epoch_plan")
                 and getattr(train_iter, "drop_last", False)
                 and getattr(val_iter, "drop_last", False)
-                and getattr(train_iter, "batch_size", None)
-                == self.batch_size
-                and getattr(val_iter, "batch_size", None) == self.batch_size
-                and self._global_batch_size == self.batch_size
+                and getattr(train_iter, "batch_size", None) == gb
+                and getattr(val_iter, "batch_size", None) == gb
                 and len(train_iter) > 0 and len(val_iter) > 0)
 
     def run_epochs_scanned(self, train_iter, val_iter, n_epochs: int):
@@ -334,10 +362,18 @@ class ModelManager:
         if self._scanned_epochs is None:
             # jit re-specializes on the labels pytree structure (None vs
             # array), so one cached callable serves both variants
-            self._scanned_epochs = make_scanned_train_epochs(
-                self.net_config, self.loss_weights, self.optimizer,
-                self.batch_size, swap=self.swap_features,
-                clf_optimizer=self.clf_optimizer)
+            mesh = getattr(self, "mesh", None)
+            if mesh is not None:
+                from .parallel import make_scanned_parallel_epochs
+                self._scanned_epochs = make_scanned_parallel_epochs(
+                    self.net_config, self.loss_weights, self.optimizer,
+                    self.batch_size, mesh, swap=self.swap_features,
+                    clf_optimizer=self.clf_optimizer)
+            else:
+                self._scanned_epochs = make_scanned_train_epochs(
+                    self.net_config, self.loss_weights, self.optimizer,
+                    self.batch_size, swap=self.swap_features,
+                    clf_optimizer=self.clf_optimizer)
         self.state, tr_m, va_m = self._scanned_epochs(
             self.state, self.geometry, tr_x, va_x,
             jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
@@ -365,10 +401,18 @@ class ModelManager:
             self._losses = {k: 0.0 for k in LOSS_KEYS}
             return self._losses
         if self._scanned_step is None:
-            self._scanned_step = make_scanned_train_step(
-                self.net_config, self.loss_weights, self.optimizer,
-                self.batch_size, swap=self.swap_features,
-                clf_optimizer=self.clf_optimizer)
+            mesh = getattr(self, "mesh", None)
+            if mesh is not None:
+                from .parallel import make_scanned_parallel_step
+                self._scanned_step = make_scanned_parallel_step(
+                    self.net_config, self.loss_weights, self.optimizer,
+                    self.batch_size, mesh, swap=self.swap_features,
+                    clf_optimizer=self.clf_optimizer)
+            else:
+                self._scanned_step = make_scanned_train_step(
+                    self.net_config, self.loss_weights, self.optimizer,
+                    self.batch_size, swap=self.swap_features,
+                    clf_optimizer=self.clf_optimizer)
         step_ids = self._step_counter + 1 + jnp.arange(steps)
         self._step_counter += steps
         lab = jnp.asarray(labels) if (labels is not None

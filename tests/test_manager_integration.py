@@ -162,3 +162,42 @@ def test_run_epochs_scanned_matches_sequential(workspace):
     for k in ("reconstruction", "tot"):
         np.testing.assert_allclose(m1._losses[k], m2._losses[k],
                                    rtol=1e-5, err_msg=k)
+
+
+def test_data_parallel_scanned_epoch_matches_per_step(workspace):
+    """Under enable_data_parallel, run_epoch with a device-resident
+    iterator takes the shard_map'd scanned path (one dispatch/epoch) and
+    must match the per-step shard_map path (host BatchIterator) update
+    for update."""
+    import jax
+
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     DeviceBatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    root, config = workspace
+    n_dev = 2
+
+    def fresh(make_iter):
+        m = ModelManager(
+            config,
+            precomputed_storage_path=config["data"]["precomputed_path"])
+        m.enable_data_parallel(n_dev)
+        train, *_ = build_datasets(config, m.template)
+        it = make_iter(train, m.batch_size * n_dev, shuffle=True, seed=5)
+        return m, it
+
+    m1, it1 = fresh(DeviceBatchIterator)
+    losses_scan = dict(m1.run_epoch(it1, train=True))
+
+    m2, it2 = fresh(BatchIterator)
+    losses_step = dict(m2.run_epoch(it2, train=True))
+
+    assert it1.batch_size == m1._global_batch_size
+    np.testing.assert_allclose(losses_scan["tot"], losses_step["tot"],
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        m1.state.params, m2.state.params)

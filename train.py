@@ -106,9 +106,10 @@ def main():
         manager.enable_data_parallel()
         batch_size *= jax.device_count()
     # keep small in-memory splits resident on device (per-step H2D uploads
-    # otherwise dominate the epoch); shard_map paths feed host arrays
-    device_resident = (not (args.data_parallel or args.multihost)
-                       and train_set.x.nbytes < 1 << 30)
+    # otherwise dominate the epoch); the data-parallel scanned path
+    # replicates the resident split over the mesh and shards only the
+    # per-step index plan. Multihost feeds host arrays (per-host slices).
+    device_resident = (not args.multihost and train_set.x.nbytes < 1 << 30)
     make_iter = DeviceBatchIterator if device_resident else BatchIterator
     train_iter = make_iter(train_set, batch_size, shuffle=True,
                            class2idx=manager._class2idx_dict)
@@ -125,7 +126,16 @@ def main():
     # host-local base batch (the global jax.Array isn't fully addressable
     # on any single process)
     vis_batch = next(iter(train_iter.base if args.multihost else train_iter))
+    val_vis_batch = next(
+        iter(val_iter.base if args.multihost else val_iter), vis_batch)
     is_primary = jax.process_index() == 0
+
+    # in-training evaluation cadence (reference train.py:51, 66-74): a
+    # Tester built up front runs latent traversals at every save_weights
+    # epoch; stats are lazy so nothing encodes the untrained model
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    tester = Tester(manager, normalization, train_iter, val_iter,
+                    output_dir, config, lazy_stats=True)
     start_epoch = manager.resume(checkpoint_dir) if args.resume else 0
     epochs = config["optimization"]["epochs"]
     log_freq = config["logging_frequency"]
@@ -138,7 +148,7 @@ def main():
 
     print_cad = max(epochs // 10, 1)
     use_chunks = (not args.profile
-                  and not (args.data_parallel or args.multihost)
+                  and not args.multihost
                   and manager.can_scan_epochs(train_iter, val_iter))
     if use_chunks:
         # Multi-epoch scan: train E epochs (train steps + per-epoch
@@ -172,8 +182,13 @@ def main():
                 manager.log_images(vis_batch, writer, epoch - 1,
                                    normalization, "train",
                                    error_max_scale=2)
+                manager.log_images(val_vis_batch, writer, epoch - 1,
+                                   normalization, "validation",
+                                   error_max_scale=2)
             if epoch % log_freq["save_weights"] == 0 and is_primary:
                 manager.save_weights(checkpoint_dir, epoch - 1)
+                tester.latent_traversals(use_z_stats=False,
+                                         save_suffix=str(epoch))
             if epoch // print_cad > prev // print_cad:   # a print beat passed
                 dt = time.time() - t0
                 print(f"epoch {epoch}/{epochs} "
@@ -198,8 +213,12 @@ def main():
         if (epoch + 1) % log_freq["tb_renderings"] == 0 and is_primary:
             manager.log_images(vis_batch, writer, epoch, normalization,
                                "train", error_max_scale=2)
+            manager.log_images(val_vis_batch, writer, epoch, normalization,
+                               "validation", error_max_scale=2)
         if (epoch + 1) % log_freq["save_weights"] == 0 and is_primary:
             manager.save_weights(checkpoint_dir, epoch)
+            tester.latent_traversals(use_z_stats=False,
+                                     save_suffix=str(epoch + 1))
         if (epoch + 1) % max(epochs // 10, 1) == 0:
             dt = time.time() - t0
             print(f"epoch {epoch + 1}/{epochs} "
