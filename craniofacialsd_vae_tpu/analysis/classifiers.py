@@ -385,16 +385,27 @@ class LinearSVM:
 
 # ---------------------------------------------------------------------------
 class MLPTrainer:
-    """Post-hoc MLP head training (reference mm.py:428-471)."""
+    """Post-hoc MLP head training (reference mm.py:428-471).
+
+    Optimizer parity with the reference: torch.optim.Adam with *coupled*
+    weight decay (reference mm.py:118-121) and one update per latent
+    minibatch per epoch — the reference's mlp_classifier_epoch iterates
+    the encoded loader-batch list (mm.py:428-446), it does NOT take
+    full-batch steps. The batch partitioning is fixed across epochs,
+    like the cached latents list. Each training epoch runs as one
+    lax.scan dispatch over the minibatches.
+    """
 
     def __init__(self, latent_size, hidden, n_classes, lr=1e-4, epochs=50,
-                 seed=0):
+                 seed=0, weight_decay=0.0, batch_size=None):
         from ..models.mlp import init_mlp
 
         self.params = init_mlp(jax.random.PRNGKey(seed), latent_size,
                                hidden, n_classes)
         self.lr = lr
         self.epochs = epochs
+        self.weight_decay = weight_decay
+        self.batch_size = batch_size
 
     def fit(self, x, y, x_val=None, y_val=None, class_weights=None,
             writer=None):
@@ -402,31 +413,75 @@ class MLPTrainer:
 
         from ..models.mlp import mlp_apply
         from ..training.losses import weighted_cross_entropy
+        from ..training.trainer import coupled_adam
 
         n_classes = self.params[-1]["b"].shape[0]
         cw = jnp.asarray(class_weights if class_weights is not None
                          else np.ones(n_classes, np.float32))
         xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32)
-        opt = optax.adamw(self.lr)
+        n = len(xj)
+        bs = min(self.batch_size or n, n)
+        n_full = n // bs
+        xb = xj[:n_full * bs].reshape(n_full, bs, -1)
+        yb = yj[:n_full * bs].reshape(n_full, bs)
+        tail = n % bs      # 0 with the reference's drop_last loaders
+        opt = coupled_adam(self.lr, self.weight_decay)
         opt_state = opt.init(self.params)
 
-        @jax.jit
-        def step(params, opt_state):
+        def one_step(params, opt_state, xs, ys):
             def loss_fn(p):
-                logits, _ = mlp_apply(p, xj)
-                loss, acc = weighted_cross_entropy(logits, yj, cw)
-                return loss, acc
+                logits, _ = mlp_apply(p, xs)
+                return weighted_cross_entropy(logits, ys, cw)
 
             (loss, acc), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, acc
+            return (optax.apply_updates(params, updates), opt_state,
+                    loss, acc)
 
+        @jax.jit
+        def epoch_step(params, opt_state):
+            def body(carry, xs_ys):
+                p, s = carry
+                p, s, loss, acc = one_step(p, s, *xs_ys)
+                return (p, s), (loss, acc)
+
+            (params, opt_state), (losses, accs) = jax.lax.scan(
+                body, (params, opt_state), (xb, yb))
+            return params, opt_state, losses.sum(), accs.sum()
+
+        tail_step = jax.jit(one_step) if tail else None
+
+        @jax.jit
+        def eval_metrics(params, xs, ys):
+            logits, _ = mlp_apply(params, xs)
+            return weighted_cross_entropy(logits, ys, cw)
+
+        xv = jnp.asarray(x_val, jnp.float32) if x_val is not None else None
+        yv = jnp.asarray(y_val, jnp.int32) if y_val is not None else None
+
+        n_batches = n_full + (1 if tail else 0)
         for epoch in range(self.epochs):
-            self.params, opt_state, loss, acc = step(self.params, opt_state)
+            self.params, opt_state, loss_sum, acc_sum = epoch_step(
+                self.params, opt_state)
+            if tail:
+                self.params, opt_state, t_loss, t_acc = tail_step(
+                    self.params, opt_state, xj[n_full * bs:],
+                    yj[n_full * bs:])
+                loss_sum, acc_sum = loss_sum + t_loss, acc_sum + t_acc
             if writer is not None:
-                writer.add_scalar("train/class_loss", float(loss), epoch + 1)
-                writer.add_scalar("train/class_acc", float(acc), epoch + 1)
+                # reference cadence: epoch means over batches, both phases
+                # (mm.py:455-467)
+                writer.add_scalar("train/class_loss",
+                                  float(loss_sum) / n_batches, epoch + 1)
+                writer.add_scalar("train/class_acc",
+                                  float(acc_sum) / n_batches, epoch + 1)
+                if xv is not None:
+                    v_loss, v_acc = eval_metrics(self.params, xv, yv)
+                    writer.add_scalar("validation/class_loss",
+                                      float(v_loss), epoch + 1)
+                    writer.add_scalar("validation/class_acc",
+                                      float(v_acc), epoch + 1)
         return self
 
     def predict(self, x):
@@ -449,6 +504,9 @@ class LatentClassifiers:
     mlp_hidden: list = field(default_factory=lambda: [512, 128, 64])
     mlp_lr: float = 1e-4
     mlp_epochs: int = 50
+    mlp_weight_decay: float = 0.0   # config optimization.weight_decay
+    mlp_batch: int | None = None    # loader batch size (reference latents
+    #                                 are stepped per loader batch)
 
     mlp: MLPTrainer = None
     svm: LinearSVM = None
@@ -462,11 +520,14 @@ class LatentClassifiers:
         accs = {}
         n_classes = int(np.max(y)) + 1
         self.mlp = MLPTrainer(self.latent_size, self.mlp_hidden, n_classes,
-                              self.mlp_lr, self.mlp_epochs)
+                              self.mlp_lr, self.mlp_epochs,
+                              weight_decay=self.mlp_weight_decay,
+                              batch_size=self.mlp_batch)
         if mlp_init is not None:
             self.mlp.params = mlp_init
         else:
-            self.mlp.fit(z, y, class_weights=class_weights, writer=writer)
+            self.mlp.fit(z, y, z_val, y_val, class_weights=class_weights,
+                         writer=writer)
         accs["mlp"] = self.mlp.score(z_val, y_val)
 
         self.svm = LinearSVM().fit(z, y)

@@ -260,13 +260,17 @@ class Tester:
         for i in range(latent_size):
             z_all[i, :, i] = np.linspace(z_mins[i], z_maxs[i], n_steps)
         # largest divisor of latent_size within the memory budget keeps
-        # every decode the same shape (one compile)
+        # every decode the same shape (one compile); when a single dim's
+        # n_steps already exceeds the ~80-mesh budget, chunk along the
+        # step axis instead so no decode ever exceeds it
+        flat = z_all.reshape(-1, latent_size)           # [Z·steps, Z]
         cap = max(80 // n_steps, 1)
         dims_per_chunk = max(
             [d for d in range(1, cap + 1) if latent_size % d == 0])
+        rows = dims_per_chunk * n_steps if n_steps <= 80 else 80
         chunks = []
-        for s0 in range(0, latent_size, dims_per_chunk):
-            zc = z_all[s0:s0 + dims_per_chunk].reshape(-1, latent_size)
+        for s0 in range(0, len(flat), rows):
+            zc = flat[s0:s0 + rows]
             chunks.append(np.asarray(self._manager.generate(zc)))
         gen_all = np.concatenate(chunks).reshape(
             latent_size, n_steps, -1, 3)
@@ -1165,18 +1169,24 @@ class Tester:
     # ------------------------------------------------------------------
     # mesh fitting (reference test.py:336-520)
     def fit_mesh(self, mesh_path, landmarks, lr=5e-3, iterations=250,
-                 n_restarts=16, seed=0):
+                 n_restarts=16, seed=0, save_artifacts=False):
         """Fit a latent to an unregistered scan: Procrustes landmark
         alignment then Adam over multiple z inits minimizing
         10·landmark-MSE + chamfer, pick the best, classify it.
 
         landmarks: [20, 3] array or a path to the reference's landmark
         JSON ([{'x':..,'y':..,'z':..}, ...]).
+
+        With save_artifacts=True the fitted mesh and the aligned scan are
+        exported for inspection (reference test.py:477-483 writes
+        `*_aligned.obj` / `*_fit.obj` next to the input; here they land
+        in <out_dir>/fit/ to keep source dirs read-only-safe).
         """
         import optax
 
+        scan_mesh = read_mesh(mesh_path)
         mgr = self._manager
-        scan = read_mesh(mesh_path).vertices.astype(np.float64)
+        scan = scan_mesh.vertices.astype(np.float64)
         if isinstance(landmarks, str):
             with open(landmarks) as f:
                 pts = json.load(f)
@@ -1276,4 +1286,18 @@ class Tester:
                     region_preds[COLOUR2ATTRIBUTE.get(key, key)] = \
                         mgr.idx2class(p)
             result["region_pred_classes"] = region_preds
+        if save_artifacts:
+            fit_dir = os.path.join(self._out_dir, "fit")
+            os.makedirs(fit_dir, exist_ok=True)
+            base = os.path.splitext(os.path.basename(mesh_path))[0]
+            fit_path = os.path.join(fit_dir, f"{base}_fit.ply")
+            aligned_path = os.path.join(fit_dir, f"{base}_aligned.ply")
+            write_ply(fit_path, gen, mgr.template.face)
+            write_ply(aligned_path, aligned, scan_mesh.faces)
+            scalars = {k: v for k, v in result.items()
+                       if isinstance(v, (int, float, str, list, dict))}
+            with open(os.path.join(fit_dir, f"{base}_fit.json"),
+                      "w") as f:
+                json.dump(scalars, f, indent=1, default=str)
+            result["artifacts"] = [fit_path, aligned_path]
         return result

@@ -51,7 +51,10 @@ class DatasetSummary:
             return cls()
         try:
             import pandas as pd
-            df = pd.read_excel(path)
+            # same columns either way; csv needs no xlsx engine (openpyxl
+            # is gated in this image)
+            df = pd.read_csv(path) if path.endswith(".csv") \
+                else pd.read_excel(path)
         except Exception as e:  # missing openpyxl or malformed file
             print(f"[dataset] summary unavailable ({e}); continuing without")
             return cls()

@@ -20,21 +20,12 @@ import optax
 from .geometry import load_or_compute_geometry, load_template
 from .models import (SDVAEConfig, SpiralGeometry, decode, encode, forward,
                      init_sdvae, init_mlp, latent_regions)
-from .training import (LOSS_KEYS, LossWeights, create_train_state,
-                       make_eval_step, make_train_step)
+from .training import (LOSS_KEYS, LossWeights, coupled_adam,
+                       create_train_state, make_eval_step, make_train_step)
 from .training.checkpoint import resume_checkpoint, save_checkpoint
 from .utils import class_conversions_and_weights
 
-
-def _coupled_adam(lr: float, weight_decay: float):
-    """Adam with torch-style *coupled* L2 (decay added to the gradient ahead
-    of the moment updates), matching the reference torch.optim.Adam; optax's
-    adamw would decay decoupled and silently change the objective for any
-    config with nonzero weight_decay."""
-    if weight_decay:
-        return optax.chain(optax.add_decayed_weights(weight_decay),
-                           optax.adam(lr))
-    return optax.adam(lr)
+_coupled_adam = coupled_adam   # torch-style coupled L2 (training.trainer)
 
 __all__ = ["ModelManager"]
 
@@ -178,13 +169,28 @@ class ModelManager:
         return self._train_latents, self._train_labels
 
     def _count_dataset_classes(self) -> int:
+        """Classes = distinct first letters of the dataset's mesh
+        filenames (reference mm.py:104-108). An unreadable dataset path
+        fails loudly rather than silently sizing the end2end classifier
+        head wrong; `classifier.n_classes` in the config overrides the
+        directory scan (e.g. headless/demo setups)."""
+        explicit = (self._classifier_params or {}).get("n_classes")
+        if explicit:
+            return int(explicit)
         path = self._data_params.get("dataset_path")
         try:
             names = [n for n in os.listdir(path)
                      if n.endswith((".obj", ".ply"))]
-            return max(len({n[0] for n in names}), 2)
-        except (TypeError, FileNotFoundError):
-            return 5  # a/c/m/n/b
+        except (TypeError, FileNotFoundError, NotADirectoryError) as e:
+            raise ValueError(
+                f"cannot count dataset classes: dataset_path {path!r} is "
+                f"not readable ({e}); fix the path or set "
+                f"classifier.n_classes explicitly") from None
+        if not names:
+            raise ValueError(
+                f"cannot count dataset classes: no .obj/.ply meshes in "
+                f"{path!r}; fix the path or set classifier.n_classes")
+        return max(len({n[0] for n in names}), 2)
 
     # ------------------------------------------------------------------
     # class maps
@@ -508,6 +514,12 @@ class ModelManager:
                 "mlp_lr", 1e-4)),
             mlp_epochs=int((self._classifier_params or {}).get(
                 "mlp_epochs", 50)),
+            # reference optimizer semantics: coupled Adam with the main
+            # config's weight_decay, one step per latent loader batch
+            # (reference mm.py:118-121, 428-446)
+            mlp_weight_decay=float(
+                self._optimization_params.get("weight_decay", 0.0)),
+            mlp_batch=self.batch_size,
         )
         return self.classifiers
 

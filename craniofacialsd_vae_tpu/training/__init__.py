@@ -4,4 +4,4 @@ from .losses import (mse_loss, kl_divergence_loss, laplacian_loss,
 from .trainer import (LossWeights, TrainState, create_train_state,
                       make_train_step, make_scanned_train_step,
                       make_scanned_train_epochs, make_eval_step,
-                      LOSS_KEYS)
+                      LOSS_KEYS, coupled_adam)

@@ -27,7 +27,20 @@ from .losses import (kl_divergence_loss, laplacian_loss,
 
 __all__ = ["LossWeights", "TrainState", "create_train_state",
            "make_train_step", "make_scanned_train_step",
-           "make_scanned_train_epochs", "make_eval_step", "LOSS_KEYS"]
+           "make_scanned_train_epochs", "make_eval_step", "LOSS_KEYS",
+           "coupled_adam"]
+
+
+def coupled_adam(lr: float, weight_decay: float):
+    """Adam with torch-style *coupled* L2 (decay added to the gradient
+    ahead of the moment updates), matching torch.optim.Adam(...,
+    weight_decay=·) — used for both the net (reference
+    model_manager.py:69-72) and the MLP head (118-121); optax's adamw
+    would decay decoupled and silently change the objective."""
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.adam(lr))
+    return optax.adam(lr)
 
 LOSS_KEYS = ["reconstruction", "kl", "latent_consistency", "laplacian",
              "classification", "classification_acc", "tot"]

@@ -193,8 +193,9 @@ def render_mesh(verts, faces, vertex_colors=None, image_size: int = 256,
     return np.clip(np.asarray(img), 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("image_size", "shadeless",
-                                   "background"))
+# background is a traced scalar operand (only used in a jnp.where), so a
+# new background value does NOT recompile the rasterizer program
+@partial(jax.jit, static_argnames=("image_size", "shadeless"))
 def _render_batch_jit(verts, faces, colors, eye, rot, light_pos,
                       image_size: int, shadeless: bool,
                       background: float = 0.0):
@@ -215,8 +216,7 @@ def _render_batch_jit(verts, faces, colors, eye, rot, light_pos,
     return jax.vmap(one)(verts, colors)
 
 
-@partial(jax.jit, static_argnames=("image_size", "shadeless",
-                                   "background"))
+@partial(jax.jit, static_argnames=("image_size", "shadeless"))
 def _render_one_pallas(v, faces, c, eye, rot, light_pos, image_size: int,
                        shadeless: bool, background: float = 0.0):
     """Single shaded mesh through the Pallas rasterizer (the kernel's
@@ -240,12 +240,19 @@ def render_batch(batched_verts, faces, vertex_colors=None,
                  image_size: int = 256, dist: float = 2.5,
                  elev: float = 0.0, azim: float = 15.0,
                  shadeless: bool = False, light_pos=(0.0, 0.0, 3.0),
-                 max_vmap: int = 4, background: float = 0.0) -> np.ndarray:
+                 max_vmap: int = 4, background: float = 0.0,
+                 quantize_transfer: bool = True) -> np.ndarray:
     """[B, N, 3] → [B, H, W, 3].
 
     vmapped on device in sub-batches of max_vmap — the rasterizer's
     pixel-tile × triangle-chunk working set scales with the vmap width, so
-    wider batches exhaust HBM on big templates."""
+    wider batches exhaust HBM on big templates.
+
+    quantize_transfer: on the Pallas path, fetch frames as uint8 (4× less
+    over the slow tunnel; free for PNG/GIF/MP4 consumers, which quantize
+    anyway). Set False for bitwise backend-independent float output (any
+    numeric consumer of pixels should pass False — quantization shifts
+    values by up to ~1/510 vs the portable path)."""
     verts = np.asarray(batched_verts, np.float32)
     faces_j = jnp.asarray(np.asarray(faces), jnp.int32)
     if vertex_colors is None:
@@ -268,8 +275,10 @@ def render_batch(batched_verts, faces, vertex_colors=None,
             shadeless, background)
             for v, c in zip(verts, colors)]
         packed = jnp.clip(jnp.stack(imgs), 0.0, 1.0)
-        packed = jnp.round(packed * 255.0).astype(jnp.uint8)
-        return np.asarray(packed).astype(np.float32) / 255.0
+        if quantize_transfer:
+            packed = jnp.round(packed * 255.0).astype(jnp.uint8)
+            return np.asarray(packed).astype(np.float32) / 255.0
+        return np.asarray(packed)
 
     out = []
     for s in range(0, len(verts), max_vmap):

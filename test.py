@@ -135,9 +135,12 @@ def main():
               f"{os.path.join(output_dir, 'pre_post_eval_plots')}")
     elif exp == "fit":
         assert args.mesh and args.landmarks, "--mesh + --landmarks required"
-        result = tester.fit_mesh(args.mesh, args.landmarks)
+        result = tester.fit_mesh(args.mesh, args.landmarks,
+                                 save_artifacts=True)
         print({k: v for k, v in result.items()
                if not hasattr(v, "shape") or v.size < 10})
+        print(f"fitted mesh + aligned scan written to "
+              f"{os.path.join(output_dir, 'fit')}")
     else:
         raise SystemExit(f"unknown experiment {exp}")
 

@@ -217,3 +217,65 @@ class TestReferencePickleImport:
         key = list(zoo.region_ldas.keys())[0]
         emb = zoo.region_ldas[key].transform_sklearn_style(z5)
         assert emb.shape == (4, 2)
+
+
+class TestMLPTorchParity:
+    def test_trajectory_matches_torch_adam(self):
+        """MLPTrainer.fit must replicate the reference's optimizer
+        semantics exactly: coupled torch.optim.Adam(weight_decay=·), one
+        update per latent minibatch per epoch, class-weighted CE
+        (reference model_manager.py:118-121, 428-446). Oracle: the same
+        init trained by torch."""
+        import torch
+        import torch.nn.functional as F
+
+        from craniofacialsd_vae_tpu.analysis.classifiers import MLPTrainer
+
+        rng = np.random.default_rng(11)
+        n, d, n_classes = 22, 6, 3          # ragged tail: 22 = 2*8 + 6
+        bs, epochs, lr, wd = 8, 4, 1e-2, 1e-2
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        y = rng.integers(0, n_classes, size=n).astype(np.int64)
+        cw = np.array([1.0, 2.0, 0.5], np.float32)
+
+        trainer = MLPTrainer(d, [5], n_classes, lr=lr, epochs=epochs,
+                             weight_decay=wd, batch_size=bs)
+        init = [{k: np.asarray(v) for k, v in layer.items()}
+                for layer in trainer.params]
+        trainer.fit(x, y, class_weights=cw)
+
+        # torch oracle with the identical init and batch partitioning
+        lins = []
+        for layer in init:
+            lin = torch.nn.Linear(layer["w"].shape[0], layer["w"].shape[1])
+            with torch.no_grad():
+                lin.weight.copy_(torch.from_numpy(layer["w"].T.copy()))
+                lin.bias.copy_(torch.from_numpy(layer["b"].copy()))
+            lins.append(lin)
+        model = torch.nn.ModuleList(lins)
+
+        def apply(xt):
+            h = xt
+            for lin in lins:
+                h = torch.relu(lin(h))
+            return h
+
+        opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=wd)
+        wt = torch.from_numpy(cw)
+        batches = [(x[s:s + bs], y[s:s + bs]) for s in range(0, n, bs)]
+        for _ in range(epochs):
+            for xb, yb in batches:
+                opt.zero_grad()
+                logits = apply(torch.from_numpy(xb))
+                loss = F.cross_entropy(logits, torch.from_numpy(yb),
+                                       weight=wt)
+                loss.backward()
+                opt.step()
+
+        for layer, lin in zip(trainer.params, lins):
+            np.testing.assert_allclose(
+                np.asarray(layer["w"]), lin.weight.detach().numpy().T,
+                rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(layer["b"]), lin.bias.detach().numpy(),
+                rtol=1e-4, atol=1e-5)

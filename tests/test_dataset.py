@@ -191,3 +191,92 @@ class TestBatchIterator:
             assert b["x"].shape[0] == 4
             assert b["labels"].shape == (4,)
             assert all(l in (0, 1, 2, 3) for l in b["labels"])
+
+
+class TestBodiesVariant:
+    """data_type='bodies' end-to-end: DatasetSummary's PID / 'Face Used'
+    column path (reference utils.py:193-231 for the body dataset), csv
+    summary (no xlsx engine needed), and a training epoch under the
+    body.yaml hyperparameter shape (AE mode, kl 0)."""
+
+    def test_summary_pid_face_used_path(self, tmp_path):
+        import pandas as pd
+
+        from craniofacialsd_vae_tpu.data.dataset import DatasetSummary
+
+        df = pd.DataFrame({
+            "Dataset": ["LSFM", "LSFM", "Apert"],
+            "PID": [1, 2, 3],
+            "AgeYears": [2.0, 30.0, np.nan],
+            "Gender": ["F", "M", "F"],
+            "Face Used": ["y", "n", "y"],
+        })
+        path = str(tmp_path / "summary.csv")
+        df.to_csv(path, index=False)
+        s = DatasetSummary.load(path, data_type="bodies")
+        # PID (not ID) keys the mesh names; Face Used filters
+        assert s.used == ["n_1", "a_3"]
+        age, gender = s.age_and_gender("n_1")
+        assert age == 2.0 * 12 + 6 and gender == "F"     # years → months
+        assert s.age_and_gender("a_3")[0] == -1          # NaN age kept -1
+
+    def test_bodies_end_to_end_epoch(self, mesh_dir, tmp_path):
+        import pandas as pd
+
+        from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                         build_datasets)
+        from craniofacialsd_vae_tpu.manager import ModelManager
+        from craniofacialsd_vae_tpu.geometry import write_ply
+
+        root, tpl = mesh_dir
+        # summary marks all meshes used, via the bodies columns
+        rows = []
+        for c in ["a", "c", "m", "n", "b"]:
+            ds = {"a": "Apert", "c": "Crouzon", "m": "Muenke",
+                  "n": "LSFM", "b": "Paeds"}[c]
+            for i in range(6):
+                rows.append({"Dataset": ds, "PID": i,
+                             "AgeYears": 20.0, "Gender": "F",
+                             "Face Used": "y"})
+        summary = str(tmp_path / "bodies.csv")
+        pd.DataFrame(rows).to_csv(summary, index=False)
+        tpl_path = str(tmp_path / "body_template.ply")
+        write_ply(tpl_path, tpl.pos, tpl.face, tpl.colors)
+
+        config = {
+            "data": {
+                "template_path": tpl_path, "dataset_path": root,
+                "dataset_summary_path": summary,
+                "precomputed_path": str(tmp_path / "precomp"),
+                "data_type": "bodies", "normalize_data": True,
+                "to_mm_constant": 100.0, "swap_features": True,
+                "stratified_split": True, "augmentation_factor": 0,
+            },
+            "optimization": {
+                "epochs": 1, "batch_size": 2, "lr": 1e-4,
+                "weight_decay": 0, "laplacian_weight": 1.0,
+                "kl_weight": 0.0,            # body.yaml: AE mode
+                "latent_consistency_weight": 1.0,
+                "latent_consistency_eta1": 0.5,
+                "latent_consistency_eta2": 0.5,
+            },
+            "model": {
+                "sampling": {"type": "basic", "sampling_factors": [2, 2]},
+                "spirals": {"length": [5, 5], "dilation": [1, 1]},
+                "in_channels": 3, "out_channels": [8, 16],
+                "latent_size": 6, "pre_z_sigmoid": False,
+            },
+            "logging_frequency": {"tb_renderings": 5, "save_weights": 20},
+        }
+        manager = ModelManager(
+            config,
+            precomputed_storage_path=config["data"]["precomputed_path"])
+        assert not manager.is_vae                        # kl 0 → AE
+        train, val, test, norm, weights = build_datasets(
+            config, manager.template)
+        assert len(train) + len(val) + len(test) == 30
+        assert all(a == 20 * 12 + 6 for a in train.age)  # summary applied
+        manager.set_class_conversions_and_weights(weights)
+        losses = manager.run_epoch(
+            BatchIterator(train, 2, shuffle=True), train=True)
+        assert np.isfinite(losses["tot"]) and losses["kl"] == 0.0

@@ -201,3 +201,45 @@ def test_data_parallel_scanned_epoch_matches_per_step(workspace):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
         m1.state.params, m2.state.params)
+
+
+def test_fit_mesh_artifacts(workspace, tmp_path):
+    """fit_mesh(save_artifacts=True) exports the fitted mesh + aligned
+    scan + scalar JSON (reference test.py:477-483 writes *_fit.obj /
+    *_aligned.obj)."""
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.geometry.mesh_io import read_mesh, write_obj
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    root, config = workspace
+    manager = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+    train, val, test, norm, weights = build_datasets(
+        config, manager.template)
+    out_dir = str(tmp_path / "fit_out")
+    tester = Tester(manager, norm,
+                    BatchIterator(train, 2, shuffle=False), None,
+                    out_dir, config)
+    # landmark indices valid on the tiny synthetic template
+    n = manager.template.num_vertices
+    tester.template_landmarks_idx = list(range(0, n, max(n // 6, 1)))[:6]
+
+    scan_path = str(tmp_path / "scan.obj")
+    write_obj(scan_path, manager.template.pos * 1.1, manager.template.face)
+    landmarks = manager.template.pos[tester.template_landmarks_idx] * 1.1
+
+    result = tester.fit_mesh(scan_path, landmarks, iterations=3,
+                             n_restarts=2, save_artifacts=True)
+    assert "artifacts" in result
+    fit_path, aligned_path = result["artifacts"]
+    assert os.path.exists(fit_path) and os.path.exists(aligned_path)
+    assert os.path.exists(os.path.join(out_dir, "fit", "scan_fit.json"))
+    fitted = read_mesh(fit_path)
+    assert fitted.vertices.shape == (n, 3)
+    aligned = read_mesh(aligned_path)
+    assert aligned.vertices.shape == (n, 3)
+    # the aligned scan must land near the template frame (procrustes
+    # undoes the 1.1 scale)
+    assert np.abs(aligned.vertices - manager.template.pos).max() < 1e-3

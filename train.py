@@ -167,10 +167,13 @@ def main():
             te = time.time()
             tr_list, va_list = manager.run_epochs_scanned(
                 train_iter, val_iter, stop - epoch)
-            # NB the chunk wall time includes per-epoch validation, so
-            # this scalar slightly understates pure-training throughput
-            mps = (len(train_iter) * grid * (stop - epoch)
-                   / max(time.time() - te, 1e-9))
+            # chunk wall time includes per-epoch validation; attribute it
+            # by step count (St/(St+Sv)) so the scalar is comparable to
+            # the per-step path's train-only throughput
+            st, sv = len(train_iter), len(val_iter)
+            train_frac = st / max(st + sv, 1)
+            mps = (st * grid * (stop - epoch)
+                   / max((time.time() - te) * train_frac, 1e-9))
             for i, e in enumerate(range(epoch, stop)):
                 writer.add_scalar("perf/meshes_per_sec", mps, e + 1)
                 for k, v in tr_list[i].items():
