@@ -452,3 +452,22 @@ class BatchIterator:
                 batch["labels"] = np.asarray(
                     [self.class2idx[y] for y in batch["y"]], np.int32)
             yield batch
+
+    def epoch_plan(self):
+        """One epoch as (x [n, N, 3] host array, idx [steps, B],
+        labels [steps, B] | None) for the scanned train paths; advances
+        the shuffle RNG exactly like one __iter__ pass. Same contract as
+        DeviceBatchIterator.epoch_plan with the split left host-side
+        (jit commits it; multihost processes each hold the full split)."""
+        n = len(self.arrays)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        steps = stop // self.batch_size
+        idx = order[:steps * self.batch_size].reshape(steps,
+                                                      self.batch_size)
+        labels = None
+        if self.class2idx is not None:
+            lab_all = np.asarray(
+                [self.class2idx[y] for y in self.arrays.y], np.int32)
+            labels = lab_all[idx]
+        return self.arrays.x, idx.astype(np.int32), labels

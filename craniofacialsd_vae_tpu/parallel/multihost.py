@@ -65,8 +65,20 @@ class MultihostBatchIterator:
         self.mesh = mesh
         self.batch_size = base_iter.batch_size   # global
 
+    @property
+    def drop_last(self):
+        return getattr(self.base, "drop_last", False)
+
     def __len__(self):
         return len(self.base)
+
+    def epoch_plan(self):
+        """Scanned-epoch plan (see BatchIterator.epoch_plan). Every
+        process computes the identical plan (same seed → same shuffle);
+        the shard_map'd scanned step shards the global-batch index
+        columns over the mesh, so each process's devices scan only their
+        slice — no per-step host involvement across DCN."""
+        return self.base.epoch_plan()
 
     def __iter__(self):
         sl = local_batch_slice(self.batch_size)

@@ -148,7 +148,6 @@ def main():
 
     print_cad = max(epochs // 10, 1)
     use_chunks = (not args.profile
-                  and not args.multihost
                   and manager.can_scan_epochs(train_iter, val_iter))
     if use_chunks:
         # Multi-epoch scan: train E epochs (train steps + per-epoch
