@@ -158,9 +158,22 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     meshes_per_sec = grid / dt
 
+    # serving latency: single-mesh encode+decode (reference
+    # model_manager.py:395-426 call pattern), eval mode, no grad
+    x1 = torch.randn(1, n, 3)
+    with torch.no_grad():
+        net(x1)                                 # warmup
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            net(x1)
+            lat.append(time.perf_counter() - t0)
+    encdec_ms = sorted(lat)[len(lat) // 2] * 1000
+
     result = {
         "train_meshes_per_sec": round(meshes_per_sec, 2),
         "step_ms": round(dt * 1000, 1),
+        "encode_decode_ms": round(encdec_ms, 2),
         "device": "cpu",
         "torch": torch.__version__,
         "note": ("PyTorch re-implementation of the reference train step on "
