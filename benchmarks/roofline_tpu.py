@@ -61,8 +61,8 @@ def count_gather_rows(geom, config, B):
 
     def ell_rows(ce):
         n = ce.cols.shape[0] * ce.cols.shape[1]
-        if ce.o_rows is not None:
-            n += ce.o_cols.shape[0] * ce.o_cols.shape[1]
+        for _, o_cols, _ in ce.tiers:
+            n += o_cols.shape[0] * o_cols.shape[1]
         return n
 
     def conv_rows(op, c_in):

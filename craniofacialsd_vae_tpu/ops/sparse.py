@@ -73,22 +73,26 @@ def _pad_rows(rows, cols, vals, m):
 @dataclass
 class CappedEll:
     """ELL matrix with the per-row nnz capped; the tail of high-degree rows
-    lives in a small secondary ELL applied with a sparse row update.
+    lives in small secondary ELL tiers applied with sparse row updates.
 
     Real mesh transposes have skewed in-degrees (the craniofacial
-    up-transform transpose: mean 12, max 95) — a plain ELL pads every row to
-    the max and moves ~8× phantom bytes. Capping at ~2× the mean keeps the
-    main gather dense while the few overflow rows cost one tiny gather +
-    one R-row scatter-add."""
+    up-transform transpose: mean 10, max 92; the conv combined transpose:
+    mean 8, max 15) — a plain ELL pads every row to the max and the padded
+    entries are *gathered* like real ones, so padding is pure row-traffic
+    waste in a gather-rate-bound step (docs/PERFORMANCE.md "Roofline
+    accounting"). The cap K is chosen per table by minimizing
+    modeled gathered rows: main M·K plus each overflow tier's padded rows
+    plus a scatter penalty per overflow row (the tier lands with an R-row
+    scatter-add, measured ~4× a gathered row). Tiers recurse over the
+    still-overflowing tail (≤3 deep). On the craniofacial template this
+    cuts combined-transpose traffic ~1.5× vs the previous 2×-mean cap
+    (level-0 conv table K 15→9) and up-transpose traffic ~1.3×."""
     cols: jnp.ndarray            # [M, K_cap]
     vals: jnp.ndarray
-    o_rows: jnp.ndarray | None   # [R] rows with overflow
-    o_cols: jnp.ndarray | None   # [R, K_over]
-    o_vals: jnp.ndarray | None
+    tiers: tuple = ()            # ((o_rows [R], o_cols [R, K_t], o_vals),…)
 
     def tree_flatten(self):
-        return (self.cols, self.vals, self.o_rows, self.o_cols,
-                self.o_vals), None
+        return (self.cols, self.vals, self.tiers), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -96,52 +100,69 @@ class CappedEll:
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         out = ell_matmul_raw(self.cols, self.vals, x)
-        if self.o_rows is not None:
-            extra = ell_matmul_raw(self.o_cols, self.o_vals, x)
-            out = out.at[self.o_rows].add(extra)
+        for o_rows, o_cols, o_vals in self.tiers:
+            out = out.at[o_rows].add(ell_matmul_raw(o_cols, o_vals, x))
         return out
 
 
-def capped_ell(rows, cols, vals, m, cap_factor: float = 2.0) -> CappedEll:
-    """Host-side: COO → CappedEll with K ≈ cap_factor × mean in-degree."""
+_SCATTER_PENALTY_ROWS = 4        # one scattered row ≈ 4 gathered rows
+
+
+def _optimal_cap(counts: np.ndarray, m: int, k_max: int) -> int:
+    """K minimizing modeled gathered-row traffic: m·K main rows plus a
+    single-tier overflow model (R rows padded to k_max−K, each landing via
+    scatter-add). The recursion in capped_ell only shrinks the overflow
+    term, so this K is near-optimal for the tiered layout too."""
+    best_cost, best_k = m * k_max, k_max
+    for k in range(1, k_max):
+        r = int((counts > k).sum())
+        cost = m * k + r * (k_max - k + _SCATTER_PENALTY_ROWS)
+        if cost < best_cost:
+            best_cost, best_k = cost, k
+    return best_k
+
+
+def capped_ell(rows, cols, vals, m, max_tiers: int = 3) -> CappedEll:
+    """Host-side: COO → CappedEll with traffic-optimal cap + overflow
+    tiers (see CappedEll docstring for the cost model)."""
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
-    counts = np.bincount(rows, minlength=m)
-    k_max = max(int(counts.max()) if len(counts) else 1, 1)
-    mean = max(float(counts.mean()), 1.0)
-    cap = min(max(int(np.ceil(cap_factor * mean)), 1), k_max)
-
-    if cap >= k_max:
-        pc, pv = _pad_rows(rows, cols, vals, m)
-        return CappedEll(jnp.asarray(pc), jnp.asarray(pv),
-                         None, None, None)
-
     order = np.argsort(rows, kind="stable")
-    slot = np.zeros(m, dtype=np.int64)
-    main_r, main_c, main_v = [], [], []
-    over = {}
-    for r, c, v in zip(rows[order], cols[order], vals[order]):
-        if slot[r] < cap:
-            main_r.append(r)
-            main_c.append(c)
-            main_v.append(v)
-            slot[r] += 1
-        else:
-            over.setdefault(r, []).append((c, v))
-    pc, pv = _pad_rows(np.asarray(main_r), np.asarray(main_c),
-                       np.asarray(main_v), m)
-    o_rows = np.asarray(sorted(over.keys()), dtype=np.int32)
-    k_over = max(len(v) for v in over.values())
-    o_cols = np.zeros((len(o_rows), k_over), np.int32)
-    o_vals = np.zeros((len(o_rows), k_over), np.float32)
-    for i, r in enumerate(o_rows):
-        for j, (c, v) in enumerate(over[int(r)]):
-            o_cols[i, j] = c
-            o_vals[i, j] = v
-    return CappedEll(jnp.asarray(pc), jnp.asarray(pv),
-                     jnp.asarray(o_rows), jnp.asarray(o_cols),
-                     jnp.asarray(o_vals))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    counts = np.bincount(rows, minlength=m)
+    if len(rows) == 0:
+        pc, pv = _pad_rows(rows, cols, vals, m)
+        return CappedEll(jnp.asarray(pc), jnp.asarray(pv), ())
+    # ordinal of each entry within its (sorted) row
+    start = np.cumsum(counts) - counts
+    rank = np.arange(len(rows)) - start[rows]
+
+    k_max = int(counts.max())
+    k = _optimal_cap(counts, m, k_max)
+    main = rank < k
+    pc, pv = _pad_rows(rows[main], cols[main], vals[main], m)
+
+    tiers = []
+    rem = ~main
+    rem_rows, rem_cols = rows[rem], cols[rem]
+    rem_vals, rem_rank = vals[rem], rank[rem] - k
+    while len(rem_rows):
+        u, inv = np.unique(rem_rows, return_inverse=True)
+        t_counts = np.bincount(inv)
+        t_kmax = int(t_counts.max())
+        tk = (_optimal_cap(t_counts, len(u), t_kmax)
+              if len(tiers) < max_tiers - 1 else t_kmax)
+        tm = rem_rank < tk
+        # every overflow row has ≥1 entry in the current tier (its
+        # remaining rank restarts at 0), so the tier has no empty rows
+        tc, tv = _pad_rows(inv[tm], rem_cols[tm], rem_vals[tm], len(u))
+        tiers.append((jnp.asarray(u.astype(np.int32)),
+                      jnp.asarray(tc), jnp.asarray(tv)))
+        keep = ~tm
+        rem_rows, rem_cols = rem_rows[keep], rem_cols[keep]
+        rem_vals, rem_rank = rem_vals[keep], rem_rank[keep] - tk
+    return CappedEll(jnp.asarray(pc), jnp.asarray(pv), tuple(tiers))
 
 
 def from_coo(rows, cols, vals, shape, with_transpose: bool = True

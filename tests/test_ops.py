@@ -67,6 +67,68 @@ class TestEllMatmul:
         np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
 
+class TestCappedEll:
+    """Tiered transpose layout (traffic-optimal cap, sparse.capped_ell):
+    correctness under extreme in-degree skew, where main + multiple
+    overflow tiers are exercised."""
+
+    def test_skewed_degrees_match_dense(self, rng):
+        from craniofacialsd_vae_tpu.ops.sparse import capped_ell
+
+        # one super-hub row (degree 200), a mid tail, many degree-1 rows —
+        # forces the optimal cap well below k_max and ≥2 overflow tiers
+        m, n = 64, 300
+        rows, cols, vals = [], [], []
+        degs = [200, 40, 40, 12] + [1] * (m - 4)
+        for r, d in enumerate(degs):
+            cs = rng.choice(n, size=d, replace=False)
+            for c in cs:
+                rows.append(r)
+                cols.append(int(c))
+                vals.append(float(rng.normal()))
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals, np.float32)
+        ce = capped_ell(rows, cols, vals, m)
+        assert ce.cols.shape[1] < 200        # cap bound well below k_max
+        assert len(ce.tiers) >= 1
+        dense = np.zeros((m, n), np.float32)
+        dense[rows, cols] = vals
+        x = rng.normal(size=(n, 7)).astype(np.float32)
+        np.testing.assert_allclose(ce.apply(jnp.asarray(x)), dense @ x,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_row_traffic_not_worse_than_plain(self, rng):
+        from craniofacialsd_vae_tpu.ops.sparse import capped_ell
+
+        m, n = 32, 50
+        rows, cols, vals = random_coo(rng, m, n, 6)
+        # add a skewed tail
+        extra = rng.choice(n, size=30, replace=False)
+        rows = np.concatenate([rows, np.zeros(30, rows.dtype)])
+        cols = np.concatenate([cols, extra])
+        vals = np.concatenate([vals, rng.normal(size=30).astype(np.float32)])
+        ce = capped_ell(rows, cols, vals, m)
+        plain_rows = m * int(np.bincount(rows, minlength=m).max())
+        tiered_rows = ce.cols.shape[0] * ce.cols.shape[1] + sum(
+            oc.shape[0] * oc.shape[1] for _, oc, _ in ce.tiers)
+        assert tiered_rows <= plain_rows
+
+    def test_empty_and_uniform(self, rng):
+        from craniofacialsd_vae_tpu.ops.sparse import capped_ell
+
+        ce = capped_ell(np.array([], np.int64), np.array([], np.int64),
+                        np.array([], np.float32), 4)
+        x = jnp.asarray(rng.normal(size=(3, 2)).astype(np.float32))
+        np.testing.assert_allclose(ce.apply(x), np.zeros((4, 2)), atol=0)
+        # perfectly uniform degrees → no tiers, exact ELL
+        rows = np.repeat(np.arange(5), 3)
+        cols = np.tile(np.arange(3), 5)
+        vals = np.ones(15, np.float32)
+        ce = capped_ell(rows, cols, vals, 5)
+        assert ce.tiers == () and ce.cols.shape == (5, 3)
+
+
 class TestGatherRows:
     def test_forward_and_backward(self, rng):
         from craniofacialsd_vae_tpu.ops import gather_op_from_idx, gather_rows
