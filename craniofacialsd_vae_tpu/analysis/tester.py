@@ -53,23 +53,41 @@ def vector_linspace(start, finish, steps: int) -> np.ndarray:
 
 
 def compute_latent_stats(manager, output_dir: str, train_iter=None,
-                         cache: bool = True) -> dict:
+                         cache: bool = True, transient: bool = False
+                         ) -> dict:
     """Per-dim mean/std/min/max over train latents, cached z_stats.npz
-    (reference test.py:95-117)."""
+    (reference test.py:95-117).
+
+    transient=True computes stats for the CURRENT model state with zero
+    persistent side effects: no z_stats.npz read/write, no
+    manager._train_latents fill, and a dataset-order pass that does not
+    consume the iterator's shuffle RNG — required for mid-training
+    snapshots, where any cached artifact would be served stale to the
+    end-of-training evaluation and any RNG draw would shift subsequent
+    epoch plans."""
     path = os.path.join(output_dir, "z_stats.npz")
-    if cache and os.path.exists(path):
-        z = np.load(path)
-        return {k: z[k] for k in ("means", "stds", "mins", "maxs")}
-    latents, _ = manager.train_latents_and_labels
-    if latents is None:
+    if transient:
         if train_iter is None:
-            raise ValueError("no cached train latents; pass train_iter")
-        latents, _ = manager.encode_all(train_iter, is_train_loader=True)
+            raise ValueError("transient stats need train_iter")
+        batches = (train_iter.ordered_batches()
+                   if hasattr(train_iter, "ordered_batches")
+                   else train_iter)
+        latents, _ = manager.encode_all(batches, is_train_loader=False)
+    else:
+        if cache and os.path.exists(path):
+            z = np.load(path)
+            return {k: z[k] for k in ("means", "stds", "mins", "maxs")}
+        latents, _ = manager.train_latents_and_labels
+        if latents is None:
+            if train_iter is None:
+                raise ValueError("no cached train latents; pass train_iter")
+            latents, _ = manager.encode_all(train_iter,
+                                            is_train_loader=True)
     stats = {"means": latents.mean(axis=0),
              "stds": latents.std(axis=0, ddof=1),
              "mins": latents.min(axis=0),
              "maxs": latents.max(axis=0)}
-    if cache:
+    if not transient and cache:
         os.makedirs(output_dir, exist_ok=True)
         np.savez(path, **stats)
     return stats
@@ -244,11 +262,22 @@ class Tester:
             z_mins = -3 * z_range_multiplier * np.ones(latent_size)
             z_maxs = 3 * z_range_multiplier * np.ones(latent_size)
         else:
-            z_means = np.asarray(self.latent_stats["means"])
-            z_mins = np.asarray(self.latent_stats["mins"]) \
-                * z_range_multiplier
-            z_maxs = np.asarray(self.latent_stats["maxs"]) \
-                * z_range_multiplier
+            # non-VAE traversals always need data-derived ranges. For the
+            # mid-training cadence (use_z_stats=False, e.g. body.yaml AE
+            # runs) compute them transiently: going through
+            # self.latent_stats here would cache half-trained-model stats
+            # (z_stats.npz + manager._train_latents) that the final
+            # evaluation then reloads stale, and would consume a shuffle
+            # draw from the train iterator, shifting later epoch plans.
+            if not use_z_stats and self._latent_stats is None:
+                stats = compute_latent_stats(
+                    self._manager, self._out_dir, self._train_iter,
+                    transient=True)
+            else:
+                stats = self.latent_stats
+            z_means = np.asarray(stats["means"])
+            z_mins = np.asarray(stats["mins"]) * z_range_multiplier
+            z_maxs = np.asarray(stats["maxs"]) * z_range_multiplier
 
         s = save_suffix if save_suffix is not None else ""
         # batched decode over dims in chunks (per-dim generate calls each

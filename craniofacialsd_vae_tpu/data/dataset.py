@@ -346,7 +346,80 @@ def save_mean_mesh(normalization: dict, template, out_path: str):
     write_ply(out_path, np.asarray(normalization["mean"]), template.face)
 
 
-class DeviceBatchIterator:
+class _BatchIteratorBase:
+    """Shared batching logic: epoch order, drop_last stop, label mapping.
+    One definition serves __iter__, epoch_plan and ordered_batches so the
+    'epoch_plan advances the RNG exactly like one __iter__ pass' invariant
+    (the scanned train paths depend on it) lives in exactly one place.
+    Subclasses supply where the vertex tensor lives (_take_x / _plan_x)."""
+
+    def __init__(self, arrays: MeshArrays, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, class2idx: dict | None = None):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.class2idx = class2idx
+
+    def __len__(self):
+        n = len(self.arrays)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _epoch_order(self):
+        """Consumes one RNG draw when shuffling — call once per epoch."""
+        n = len(self.arrays)
+        return self._rng.permutation(n) if self.shuffle else np.arange(n)
+
+    def _stop(self):
+        n = len(self.arrays)
+        return n - n % self.batch_size if self.drop_last else n
+
+    def _make_batch(self, idx):
+        batch = {
+            "x": self._take_x(idx),
+            "y": [self.arrays.y[i] for i in idx],
+            "age": self.arrays.age[idx],
+            "gender": [self.arrays.gender[i] for i in idx],
+            "augmented": self.arrays.augmented[idx],
+        }
+        if self.class2idx is not None:
+            batch["labels"] = np.asarray(
+                [self.class2idx[y] for y in batch["y"]], np.int32)
+        return batch
+
+    def _batches(self, order):
+        for s in range(0, self._stop(), self.batch_size):
+            yield self._make_batch(order[s:s + self.batch_size])
+
+    def __iter__(self):
+        return self._batches(self._epoch_order())
+
+    def ordered_batches(self):
+        """Deterministic dataset-order pass that does NOT consume the
+        shuffle RNG — for out-of-band evaluation (e.g. mid-training latent
+        statistics) that must leave subsequent epoch plans untouched."""
+        return self._batches(np.arange(len(self.arrays)))
+
+    def epoch_plan(self):
+        """One epoch as (x [n, N, 3], idx [steps, B],
+        labels [steps, B] | None) for the scanned train paths; advances
+        the shuffle RNG exactly like one __iter__ pass."""
+        order = self._epoch_order()
+        steps = self._stop() // self.batch_size
+        idx = order[:steps * self.batch_size].reshape(steps,
+                                                      self.batch_size)
+        labels = None
+        if self.class2idx is not None:
+            lab_all = np.asarray(
+                [self.class2idx[y] for y in self.arrays.y], np.int32)
+            labels = lab_all[idx]
+        return self._plan_x(), idx.astype(np.int32), labels
+
+
+class DeviceBatchIterator(_BatchIteratorBase):
     """Device-resident batcher: uploads the split's vertex tensor to the
     accelerator once and slices batches on device by (tiny) index uploads.
 
@@ -364,110 +437,28 @@ class DeviceBatchIterator:
         import jax
         import jax.numpy as jnp
 
-        self.arrays = arrays
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
-        self.class2idx = class2idx
+        super().__init__(arrays, batch_size, shuffle, drop_last, seed,
+                         class2idx)
         self._x_dev = jnp.asarray(arrays.x)
         self._take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
 
-    def __len__(self):
-        n = len(self.arrays)
-        return n // self.batch_size if self.drop_last else \
-            -(-n // self.batch_size)
-
-    def __iter__(self):
+    def _take_x(self, idx):
         import jax.numpy as jnp
 
-        n = len(self.arrays)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        stop = n - n % self.batch_size if self.drop_last else n
-        for s in range(0, stop, self.batch_size):
-            idx = order[s:s + self.batch_size]
-            batch = {
-                "x": self._take(self._x_dev, jnp.asarray(idx)),
-                "y": [self.arrays.y[i] for i in idx],
-                "age": self.arrays.age[idx],
-                "gender": [self.arrays.gender[i] for i in idx],
-                "augmented": self.arrays.augmented[idx],
-            }
-            if self.class2idx is not None:
-                batch["labels"] = np.asarray(
-                    [self.class2idx[y] for y in batch["y"]], np.int32)
-            yield batch
+        return self._take(self._x_dev, jnp.asarray(idx))
 
-    def epoch_plan(self):
-        """One epoch as a device-side plan for the scanned train step:
-        (x_dev [n, N, 3], idx [steps, B], labels [steps, B] | None).
-        Advances the shuffle RNG exactly like one __iter__ pass."""
-        n = len(self.arrays)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        stop = n - n % self.batch_size if self.drop_last else n
-        steps = stop // self.batch_size
-        idx = order[:steps * self.batch_size].reshape(steps,
-                                                      self.batch_size)
-        labels = None
-        if self.class2idx is not None:
-            lab_all = np.asarray(
-                [self.class2idx[y] for y in self.arrays.y], np.int32)
-            labels = lab_all[idx]
-        return self._x_dev, idx.astype(np.int32), labels
+    def _plan_x(self):
+        return self._x_dev
 
 
-class BatchIterator:
+class BatchIterator(_BatchIteratorBase):
     """Host-side batcher: shuffled fixed-size numpy batches, drop_last
-    (reference uses drop_last=True everywhere, data_loading.py:40-48)."""
+    (reference uses drop_last=True everywhere, data_loading.py:40-48).
+    epoch_plan leaves the split host-side (jit commits it; multihost
+    processes each hold the full split)."""
 
-    def __init__(self, arrays: MeshArrays, batch_size: int,
-                 shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, class2idx: dict | None = None):
-        self.arrays = arrays
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
-        self.class2idx = class2idx
+    def _take_x(self, idx):
+        return self.arrays.x[idx]
 
-    def __len__(self):
-        n = len(self.arrays)
-        return n // self.batch_size if self.drop_last else \
-            -(-n // self.batch_size)
-
-    def __iter__(self):
-        n = len(self.arrays)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        stop = n - n % self.batch_size if self.drop_last else n
-        for s in range(0, stop, self.batch_size):
-            idx = order[s:s + self.batch_size]
-            batch = {
-                "x": self.arrays.x[idx],
-                "y": [self.arrays.y[i] for i in idx],
-                "age": self.arrays.age[idx],
-                "gender": [self.arrays.gender[i] for i in idx],
-                "augmented": self.arrays.augmented[idx],
-            }
-            if self.class2idx is not None:
-                batch["labels"] = np.asarray(
-                    [self.class2idx[y] for y in batch["y"]], np.int32)
-            yield batch
-
-    def epoch_plan(self):
-        """One epoch as (x [n, N, 3] host array, idx [steps, B],
-        labels [steps, B] | None) for the scanned train paths; advances
-        the shuffle RNG exactly like one __iter__ pass. Same contract as
-        DeviceBatchIterator.epoch_plan with the split left host-side
-        (jit commits it; multihost processes each hold the full split)."""
-        n = len(self.arrays)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        stop = n - n % self.batch_size if self.drop_last else n
-        steps = stop // self.batch_size
-        idx = order[:steps * self.batch_size].reshape(steps,
-                                                      self.batch_size)
-        labels = None
-        if self.class2idx is not None:
-            lab_all = np.asarray(
-                [self.class2idx[y] for y in self.arrays.y], np.int32)
-            labels = lab_all[idx]
-        return self.arrays.x, idx.astype(np.int32), labels
+    def _plan_x(self):
+        return self.arrays.x

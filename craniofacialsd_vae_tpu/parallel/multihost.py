@@ -80,6 +80,12 @@ class MultihostBatchIterator:
         slice — no per-step host involvement across DCN."""
         return self.base.epoch_plan()
 
+    def ordered_batches(self):
+        """Deterministic non-RNG-consuming pass over the base iterator's
+        host-local arrays (see _BatchIteratorBase.ordered_batches) — for
+        single-process out-of-band evaluation only."""
+        return self.base.ordered_batches()
+
     def __iter__(self):
         sl = local_batch_slice(self.batch_size)
         for batch in self.base:

@@ -20,8 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.sdvae import SDVAEConfig
-from ..training.trainer import (LossWeights, _build_raw_eval,
-                                _build_raw_step, make_train_step)
+from ..training.trainer import LossWeights, make_train_step
 from .mesh import DATA_AXIS
 
 __all__ = ["make_parallel_train_step", "make_parallel_eval_step",
@@ -70,31 +69,22 @@ def make_scanned_parallel_step(config: SDVAEConfig, weights: LossWeights,
 
     G = n_devices × batch_size global batch columns; idx/labels are
     sharded along that axis so each device scans its own [S, B] slice of
-    the plan against the replicated resident split. Key schedule matches
-    the per-step DP path exactly: fold_in(epoch_key, step_id) then
-    fold_in(·, device_index) (make_parallel_train_step's device_step).
+    the plan against the replicated resident split. The scan body IS the
+    single-chip one (training.trainer._build_raw_scanned_epoch) with
+    axis_name=DATA_AXIS — same key schedule (fold_in(epoch_key, step_id)
+    then fold_in(·, device_index), matching the per-step DP path) by
+    construction, not by parallel maintenance.
     """
-    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
-                           clf_optimizer, axis_name=DATA_AXIS)
+    from ..training.trainer import _build_raw_scanned_epoch
 
-    def device_epoch(state, geom, data_x, idx, step_ids, labels,
-                     class_weights, key):
-        dev = jax.lax.axis_index(DATA_AXIS)
-
-        def body(s, xs):
-            idx_t, sid_t, lab_t = xs
-            x = jax.numpy.take(data_x, idx_t, axis=0)
-            k = jax.random.fold_in(jax.random.fold_in(key, sid_t), dev)
-            return step(s, geom, x, lab_t, class_weights, k)
-
-        state, metrics = jax.lax.scan(body, state,
-                                      (idx, step_ids, labels))
-        return state, jax.tree.map(lambda m: m.mean(axis=0), metrics)
+    epoch_body = _build_raw_scanned_epoch(config, weights, optimizer,
+                                          batch_size, swap, clf_optimizer,
+                                          axis_name=DATA_AXIS)
 
     rep = P()
     col_sharded = P(None, DATA_AXIS)       # [S, G] → local [S, B]
     epoch = shard_map(
-        device_epoch, mesh=mesh,
+        epoch_body, mesh=mesh,
         in_specs=(rep, rep, rep, col_sharded, rep,
                   col_sharded if clf_optimizer is not None else rep,
                   rep, rep),
@@ -109,8 +99,9 @@ def make_scanned_parallel_epochs(config: SDVAEConfig, weights: LossWeights,
                                  swap: bool = True, clf_optimizer=None):
     """MULTI-epoch data-parallel training (train steps + per-epoch
     validation) in one dispatch — the shard_map analog of
-    training.make_scanned_train_epochs, same signature with global-batch
-    index/label columns sharded over the data axis:
+    training.make_scanned_train_epochs (literally the same nested-scan
+    body, _build_raw_scanned_epochs with axis_name=DATA_AXIS), with
+    global-batch index/label columns sharded over the data axis:
 
     epochs_fn(state, geom, train_x, val_x, tr_idx [E, St, G], tr_sid,
               va_idx [E, Sv, G], va_sid, tr_labels|None, va_labels|None,
@@ -121,46 +112,18 @@ def make_scanned_parallel_epochs(config: SDVAEConfig, weights: LossWeights,
     back to per-step dispatch and re-paid the ~10×-of-compute host
     overhead the single-chip scan eliminated (docs/PERFORMANCE.md).
     """
-    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
-                           clf_optimizer, axis_name=DATA_AXIS)
-    eval_step = _build_raw_eval(config, weights, batch_size, swap)
+    from ..training.trainer import _build_raw_scanned_epochs
 
-    def device_epochs(state, geom, train_x, val_x, tr_idx, tr_sid, va_idx,
-                      va_sid, tr_labels, va_labels, class_weights, key):
-        dev = jax.lax.axis_index(DATA_AXIS)
-
-        def train_body(s, xs):
-            idx_t, sid_t, lab_t = xs
-            x = jax.numpy.take(train_x, idx_t, axis=0)
-            k = jax.random.fold_in(jax.random.fold_in(key, sid_t), dev)
-            return step(s, geom, x, lab_t, class_weights, k)
-
-        def epoch_body(s, xs):
-            tr_i, tr_s, va_i, va_s, tr_l, va_l = xs
-            s, tr_m = jax.lax.scan(train_body, s, (tr_i, tr_s, tr_l))
-
-            def val_body(carry, vxs):
-                idx_t, sid_t, lab_t = vxs
-                x = jax.numpy.take(val_x, idx_t, axis=0)
-                k = jax.random.fold_in(jax.random.fold_in(key, sid_t),
-                                       dev)
-                m = eval_step(s, geom, x, lab_t, class_weights, k)
-                return carry, jax.lax.pmean(m, DATA_AXIS)
-
-            _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s, va_l))
-            return s, (jax.tree.map(lambda m: m.mean(axis=0), tr_m),
-                       jax.tree.map(lambda m: m.mean(axis=0), va_m))
-
-        state, (tr_all, va_all) = jax.lax.scan(
-            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid,
-                                tr_labels, va_labels))
-        return state, tr_all, va_all
+    epochs_body = _build_raw_scanned_epochs(config, weights, optimizer,
+                                            batch_size, swap,
+                                            clf_optimizer,
+                                            axis_name=DATA_AXIS)
 
     rep = P()
     col3 = P(None, None, DATA_AXIS)        # [E, S, G] → local [E, S, B]
     lab_spec = col3 if clf_optimizer is not None else rep
     epochs = shard_map(
-        device_epochs, mesh=mesh,
+        epochs_body, mesh=mesh,
         in_specs=(rep, rep, rep, rep, col3, rep, col3, rep,
                   lab_spec, lab_spec, rep, rep),
         out_specs=(rep, rep, rep),

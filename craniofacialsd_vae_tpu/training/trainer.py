@@ -220,6 +220,46 @@ def make_train_step(config: SDVAEConfig, weights: LossWeights,
     return step
 
 
+def _fold_step_key(key, sid, axis_name):
+    """The scanned paths' key schedule: fold_in the running step id, then
+    (under shard_map) the device index — matching the per-step paths
+    (make_train_step / make_parallel_train_step's device_step) exactly.
+    ONE definition so the single-chip and data-parallel scan bodies cannot
+    drift apart."""
+    k = jax.random.fold_in(key, sid)
+    if axis_name is not None:
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+    return k
+
+
+def _build_raw_scanned_epoch(config: SDVAEConfig, weights: LossWeights,
+                             optimizer, batch_size: int, swap: bool = True,
+                             clf_optimizer=None,
+                             axis_name: str | None = None):
+    """Un-jitted whole-epoch scan shared by make_scanned_train_step
+    (single chip) and parallel.make_scanned_parallel_step (inside
+    shard_map, with per-device key folding and pmean'd grads/metrics via
+    _build_raw_step's axis_name)."""
+    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
+                           clf_optimizer, axis_name)
+
+    def epoch(state: TrainState, geom: SpiralGeometry, data_x, idx,
+              step_ids, labels, class_weights, key):
+        # labels may be None: scan treats a None xs leaf as an empty
+        # pytree and hands the body None back (jit re-specializes on the
+        # structure, so both variants share this one definition)
+        def body(s, xs):
+            idx_t, sid_t, lab_t = xs
+            x = jnp.take(data_x, idx_t, axis=0)
+            k = _fold_step_key(key, sid_t, axis_name)
+            return step(s, geom, x, lab_t, class_weights, k)
+
+        state, metrics = jax.lax.scan(body, state, (idx, step_ids, labels))
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return epoch
+
+
 def make_scanned_train_step(config: SDVAEConfig, weights: LossWeights,
                             optimizer, batch_size: int, swap: bool = True,
                             clf_optimizer=None):
@@ -237,23 +277,8 @@ def make_scanned_train_step(config: SDVAEConfig, weights: LossWeights,
     step count, and matches the per-step path update-for-update (same
     fold_in key schedule; tests/test_training.py asserts parity).
     """
-    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
-                           clf_optimizer, None)
-
-    def epoch(state: TrainState, geom: SpiralGeometry, data_x, idx,
-              step_ids, labels, class_weights, key):
-        # labels may be None: scan treats a None xs leaf as an empty
-        # pytree and hands the body None back (jit re-specializes on the
-        # structure, so both variants share this one definition)
-        def body(s, xs):
-            idx_t, sid_t, lab_t = xs
-            x = jnp.take(data_x, idx_t, axis=0)
-            k = jax.random.fold_in(key, sid_t)
-            return step(s, geom, x, lab_t, class_weights, k)
-
-        state, metrics = jax.lax.scan(body, state, (idx, step_ids, labels))
-        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
-
+    epoch = _build_raw_scanned_epoch(config, weights, optimizer,
+                                     batch_size, swap, clf_optimizer)
     return jax.jit(epoch, donate_argnums=(0,))
 
 
@@ -289,6 +314,54 @@ def make_eval_step(config: SDVAEConfig, weights: LossWeights,
     return jax.jit(_build_raw_eval(config, weights, batch_size, swap))
 
 
+def _build_raw_scanned_epochs(config: SDVAEConfig, weights: LossWeights,
+                              optimizer, batch_size: int, swap: bool = True,
+                              clf_optimizer=None,
+                              axis_name: str | None = None):
+    """Un-jitted multi-epoch nested scan shared by
+    make_scanned_train_epochs (single chip) and
+    parallel.make_scanned_parallel_epochs (inside shard_map). With
+    axis_name set, train grads/metrics reduce inside _build_raw_step and
+    the per-step validation metrics are pmean'd here."""
+    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
+                           clf_optimizer, axis_name)
+    eval_step = _build_raw_eval(config, weights, batch_size, swap)
+
+    def epochs_fn(state, geom, train_x, val_x, tr_idx, tr_sid, va_idx,
+                  va_sid, tr_labels, va_labels, class_weights, key):
+        # label arrays may be None: scan passes a None xs leaf through as
+        # None (empty pytree), so one body serves both variants
+        def train_body(s, xs):
+            idx_t, sid_t, lab_t = xs
+            x = jnp.take(train_x, idx_t, axis=0)
+            k = _fold_step_key(key, sid_t, axis_name)
+            return step(s, geom, x, lab_t, class_weights, k)
+
+        def epoch_body(s, xs):
+            tr_i, tr_s, va_i, va_s, tr_l, va_l = xs
+            s, tr_m = jax.lax.scan(train_body, s, (tr_i, tr_s, tr_l))
+
+            def val_body(carry, vxs):
+                idx_t, sid_t, lab_t = vxs
+                x = jnp.take(val_x, idx_t, axis=0)
+                k = _fold_step_key(key, sid_t, axis_name)
+                m = eval_step(s, geom, x, lab_t, class_weights, k)
+                if axis_name is not None:
+                    m = jax.lax.pmean(m, axis_name)
+                return carry, m
+
+            _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s, va_l))
+            return s, (jax.tree.map(lambda m: jnp.mean(m, axis=0), tr_m),
+                       jax.tree.map(lambda m: jnp.mean(m, axis=0), va_m))
+
+        state, (tr_all, va_all) = jax.lax.scan(
+            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid,
+                                tr_labels, va_labels))
+        return state, tr_all, va_all
+
+    return epochs_fn
+
+
 def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
                               optimizer, batch_size: int, swap: bool = True,
                               clf_optimizer=None):
@@ -309,38 +382,6 @@ def make_scanned_train_epochs(config: SDVAEConfig, weights: LossWeights,
     (fold_in of a running step id, validation ids following the epoch's
     train ids) matches the sequential run_epoch path exactly.
     """
-    step = _build_raw_step(config, weights, optimizer, batch_size, swap,
-                           clf_optimizer, None)
-    eval_step = _build_raw_eval(config, weights, batch_size, swap)
-
-    def epochs_fn(state, geom, train_x, val_x, tr_idx, tr_sid, va_idx,
-                  va_sid, tr_labels, va_labels, class_weights, key):
-        # label arrays may be None: scan passes a None xs leaf through as
-        # None (empty pytree), so one body serves both variants
-        def train_body(s, xs):
-            idx_t, sid_t, lab_t = xs
-            x = jnp.take(train_x, idx_t, axis=0)
-            k = jax.random.fold_in(key, sid_t)
-            return step(s, geom, x, lab_t, class_weights, k)
-
-        def epoch_body(s, xs):
-            tr_i, tr_s, va_i, va_s, tr_l, va_l = xs
-            s, tr_m = jax.lax.scan(train_body, s, (tr_i, tr_s, tr_l))
-
-            def val_body(carry, vxs):
-                idx_t, sid_t, lab_t = vxs
-                x = jnp.take(val_x, idx_t, axis=0)
-                k = jax.random.fold_in(key, sid_t)
-                return carry, eval_step(s, geom, x, lab_t, class_weights,
-                                        k)
-
-            _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s, va_l))
-            return s, (jax.tree.map(lambda m: jnp.mean(m, axis=0), tr_m),
-                       jax.tree.map(lambda m: jnp.mean(m, axis=0), va_m))
-
-        state, (tr_all, va_all) = jax.lax.scan(
-            epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid,
-                                tr_labels, va_labels))
-        return state, tr_all, va_all
-
+    epochs_fn = _build_raw_scanned_epochs(config, weights, optimizer,
+                                          batch_size, swap, clf_optimizer)
     return jax.jit(epochs_fn, donate_argnums=(0,))

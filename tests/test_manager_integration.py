@@ -243,3 +243,39 @@ def test_fit_mesh_artifacts(workspace, tmp_path):
     # the aligned scan must land near the template frame (procrustes
     # undoes the 1.1 scale)
     assert np.abs(aligned.vertices - manager.template.pos).max() < 1e-3
+
+
+def test_midtrain_traversals_transient_for_ae(workspace, tmp_path):
+    """Mid-training traversals on an AE config (kl 0, e.g. body.yaml) need
+    data-derived latent ranges — but must be TRANSIENT: no z_stats.npz,
+    no manager._train_latents fill (the final classifier fit would reuse
+    half-trained latents), and no shuffle-RNG draw from the train
+    iterator (subsequent epoch plans must be unchanged)."""
+    import copy
+
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    root, config = workspace
+    cfg = copy.deepcopy(config)
+    cfg["optimization"]["kl_weight"] = 0.0
+    manager = ModelManager(
+        cfg, precomputed_storage_path=cfg["data"]["precomputed_path"])
+    assert not manager.is_vae
+    train, val, _, norm, weights = build_datasets(cfg, manager.template)
+    manager.set_class_conversions_and_weights(weights)
+
+    it = BatchIterator(train, 2, shuffle=True, seed=7)
+    val_it = BatchIterator(val, 2, shuffle=False, drop_last=False)
+    out = str(tmp_path / "midtrain")
+    tester = Tester(manager, norm, it, val_it, out, cfg, lazy_stats=True)
+
+    state_before = copy.deepcopy(it._rng.bit_generator.state)
+    tester.latent_traversals(use_z_stats=False, render_videos=False,
+                             save_suffix="5")
+    assert it._rng.bit_generator.state == state_before
+    assert not os.path.exists(os.path.join(out, "z_stats.npz"))
+    assert manager._train_latents is None
+    assert tester._latent_stats is None

@@ -129,6 +129,15 @@ def main():
     val_vis_batch = next(
         iter(val_iter.base if args.multihost else val_iter), vis_batch)
     is_primary = jax.process_index() == 0
+    # Mid-training eval (traversals + image grids) runs single-process
+    # jit on the current params. Under a REAL multi-process run the params
+    # are sharded over the global mesh — a primary-only computation on
+    # them would deadlock/crash the other processes' collectives — and
+    # any primary-only iterator draw would desynchronize the processes'
+    # shared-seed epoch plans. Checkpoints (plain device_get of
+    # replicated leaves) remain primary-only; run the full eval suite
+    # post-training via test.py.
+    eval_midtrain = is_primary and jax.process_count() == 1
 
     # in-training evaluation cadence (reference train.py:51, 66-74): a
     # Tester built up front runs latent traversals at every save_weights
@@ -167,10 +176,14 @@ def main():
             tr_list, va_list = manager.run_epochs_scanned(
                 train_iter, val_iter, stop - epoch)
             # chunk wall time includes per-epoch validation; attribute it
-            # by step count (St/(St+Sv)) so the scalar is comparable to
-            # the per-step path's train-only throughput
+            # by step count weighted by relative cost so the scalar is
+            # comparable to the per-step path's train-only throughput. A
+            # validation step is forward+losses only — measured ~0.15× a
+            # full train step (docs/PERFORMANCE.md grid table: forward
+            # 4.1 ms vs full step 32.0 ms); weighting it 1× would credit
+            # validation as training and overstate the metric ~(1+Sv/St)×.
             st, sv = len(train_iter), len(val_iter)
-            train_frac = st / max(st + sv, 1)
+            train_frac = st / max(st + 0.15 * sv, 1e-9)
             mps = (st * grid * (stop - epoch)
                    / max((time.time() - te) * train_frac, 1e-9))
             for i, e in enumerate(range(epoch, stop)):
@@ -180,7 +193,7 @@ def main():
                 for k, v in va_list[i].items():
                     writer.add_scalar(f"validation/{k}", v, e + 1)
             prev, epoch = epoch, stop
-            if epoch % log_freq["tb_renderings"] == 0 and is_primary:
+            if epoch % log_freq["tb_renderings"] == 0 and eval_midtrain:
                 manager.log_images(vis_batch, writer, epoch - 1,
                                    normalization, "train",
                                    error_max_scale=2)
@@ -189,8 +202,9 @@ def main():
                                    error_max_scale=2)
             if epoch % log_freq["save_weights"] == 0 and is_primary:
                 manager.save_weights(checkpoint_dir, epoch - 1)
-                tester.latent_traversals(use_z_stats=False,
-                                         save_suffix=str(epoch))
+                if eval_midtrain:
+                    tester.latent_traversals(use_z_stats=False,
+                                             save_suffix=str(epoch))
             if epoch // print_cad > prev // print_cad:   # a print beat passed
                 dt = time.time() - t0
                 print(f"epoch {epoch}/{epochs} "
@@ -212,15 +226,16 @@ def main():
         if args.profile and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
 
-        if (epoch + 1) % log_freq["tb_renderings"] == 0 and is_primary:
+        if (epoch + 1) % log_freq["tb_renderings"] == 0 and eval_midtrain:
             manager.log_images(vis_batch, writer, epoch, normalization,
                                "train", error_max_scale=2)
             manager.log_images(val_vis_batch, writer, epoch, normalization,
                                "validation", error_max_scale=2)
         if (epoch + 1) % log_freq["save_weights"] == 0 and is_primary:
             manager.save_weights(checkpoint_dir, epoch)
-            tester.latent_traversals(use_z_stats=False,
-                                     save_suffix=str(epoch + 1))
+            if eval_midtrain:
+                tester.latent_traversals(use_z_stats=False,
+                                         save_suffix=str(epoch + 1))
         if (epoch + 1) % max(epochs // 10, 1) == 0:
             dt = time.time() - t0
             print(f"epoch {epoch + 1}/{epochs} "
