@@ -96,6 +96,11 @@ def _rasterize(verts_cam, faces, colors, image_size: int = 256,
     pts = jnp.stack([px, py, z], axis=1)             # [V, 3]
 
     n_faces = faces.shape[0]
+    # shape-static chunk sizing: padding triangles are rasterized like
+    # real ones, so a small mesh padded to the full 4096 chunk pays up to
+    # ~13× phantom [pixels × triangles] work (measured 107 → 14 s for a
+    # 10-frame 256² batch of a 320-face mesh on CPU)
+    tri_chunk = min(tri_chunk, max(-(-n_faces // 256) * 256, 256))
     pad = (-n_faces) % tri_chunk
     faces_p = jnp.concatenate(
         [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)

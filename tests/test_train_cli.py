@@ -1,0 +1,124 @@
+"""train.py driven as a real CLI (subprocess, CPU platform): the full
+main() wiring — config load, dataset build, scanned-epoch training, the
+in-training eval cadence (image grids + latent traversals at
+save_weights), checkpointing, classifier fitting, latent-stats caching —
+on a tiny synthetic dataset. A second variant exercises --data_parallel
+over virtual devices through the same CLI (the shard_map'd scanned-epoch
+path end-to-end).
+
+The round-3 review found bugs precisely in this wiring (mid-training
+stats caching, multihost eval gating) that no unit test could see —
+main() had zero test coverage.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_workspace(tmp_path_factory):
+    from craniofacialsd_vae_tpu.geometry import write_obj, write_ply
+    from craniofacialsd_vae_tpu.geometry.synthetic import synthetic_template
+
+    root = tmp_path_factory.mktemp("cli_ws")
+    tpl = synthetic_template(subdivisions=2, n_regions=3)
+    tpl_path = str(root / "template.ply")
+    write_ply(tpl_path, tpl.pos, tpl.face, tpl.colors)
+
+    mesh_dir = root / "meshes"
+    mesh_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for c in ["a", "c", "n"]:
+        for i in range(10):
+            verts = tpl.pos + rng.normal(scale=0.03, size=tpl.pos.shape) \
+                + (0.05 if c == "a" else -0.05 if c == "c" else 0.0)
+            write_obj(str(mesh_dir / f"{c}_{i}.obj"), verts, tpl.face)
+
+    config = {
+        "data": {
+            "template_path": tpl_path,
+            "dataset_path": str(mesh_dir),
+            "precomputed_path": str(root / "precomp"),
+            "normalize_data": True,
+            "to_mm_constant": 10.0,
+            "swap_features": True,
+            "stratified_split": True,
+            "augmentation_factor": 0,
+        },
+        "optimization": {
+            "epochs": 2, "batch_size": 2, "lr": 1e-3, "weight_decay": 0,
+            "laplacian_weight": 0.1, "kl_weight": 1e-4,
+            "latent_consistency_weight": 0.5,
+            "latent_consistency_eta1": 0.5, "latent_consistency_eta2": 0.5,
+        },
+        "model": {
+            "sampling": {"type": "basic", "sampling_factors": [2, 2]},
+            "spirals": {"length": [5, 5], "dilation": [1, 1]},
+            "in_channels": 3, "out_channels": [8, 16],
+            "latent_size": 6, "pre_z_sigmoid": False,
+        },
+        "classifier": {
+            "main_model_type": "qda", "mlp_training_type": "after",
+            "mlp_hidden_features": [8], "mlp_lr": 1e-3, "mlp_epochs": 2,
+        },
+        # every cadence fires exactly once within the 2-epoch run
+        "logging_frequency": {"tb_renderings": 2, "save_weights": 2},
+    }
+    cfg_path = str(root / "cli.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    return root, cfg_path
+
+
+def _run_cli(root, cfg_path, run_id, extra_args=()):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)   # the CLI provisions its own devices
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg_path,
+         "--id", run_id, "--output_path", str(root),
+         "--platform", "cpu", *extra_args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, \
+        f"train.py failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    return proc, os.path.join(str(root), "outputs", run_id)
+
+
+def _assert_artifacts(out_dir):
+    assert os.path.isdir(os.path.join(out_dir, "checkpoints"))
+    ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
+    assert any(c.startswith("model_") for c in ckpts), ckpts
+    assert any(c.startswith("classifier") or "qda" in c or "lda" in c
+               for c in ckpts) or len(ckpts) >= 2
+    # in-training cadence: traversal artifacts with the epoch suffix
+    arts = os.listdir(out_dir)
+    assert any(a.startswith("latent_exploration") and "2" in a
+               for a in arts), arts
+    # end-of-training latent stats cached for the evaluation suite
+    assert os.path.exists(os.path.join(out_dir, "z_stats.npz"))
+    assert os.path.exists(os.path.join(out_dir, "config.yaml"))
+
+
+def test_train_cli_single_chip(cli_workspace):
+    root, cfg_path = cli_workspace
+    proc, out_dir = _run_cli(root, cfg_path, "cli_smoke")
+    _assert_artifacts(out_dir)
+    assert "validation accuracy" in proc.stdout
+
+
+def test_train_cli_data_parallel(cli_workspace):
+    """--data_parallel over 2 virtual CPU devices: the shard_map'd
+    scanned-epoch path through the real CLI (global batch 4 = 2 dev × 2,
+    sharded index plans, psum'd gradients)."""
+    root, cfg_path = cli_workspace
+    proc, out_dir = _run_cli(
+        root, cfg_path, "cli_dp",
+        extra_args=("--data_parallel", "--virtual_devices", "2"))
+    _assert_artifacts(out_dir)
+    assert "validation accuracy" in proc.stdout
