@@ -1,0 +1,135 @@
+"""Probe: does bf16 halve gather-row *bytes* without falling off the fast
+path at the step's dominant row widths?
+
+Round 1 measured bf16 activations ~5x slower END-TO-END and attributed it
+to 48-float rows dropping below 128-lane alignment (96 B rows). But the
+dominant gather class in the roofline census is 512-float rows (2 KB),
+which in bf16 is still 1 KB = 512 lanes — well above alignment. If those
+rows gather at byte rate, the 4.4-5.0 ms width-512 wall halves.
+
+    python benchmarks/gather_dtype_probe.py
+
+Measures chained-scan slope rates (same method as roofline_tpu.py) for
+dtype in {f32, bf16} x width in {48, 512, 1024} elements with the step's
+real mesh-coherent index patterns, plus an RCM-reordered variant of the
+level-0 pattern to test whether more index locality raises the rate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    jax = setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_geometry
+
+    geom = _flagship_geometry()
+    rng = np.random.default_rng(0)
+
+    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+    mm = jax.jit(lambda a: a @ a)
+
+    def matmul_ms():
+        r = mm(a)
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            r = mm(a)
+        float(r[0, 0])
+        return (time.perf_counter() - t0) / 10 * 1e3
+
+    print(f"contention factor {matmul_ms() / 2.1:.2f}x")
+
+    N0 = geom.spirals[0].num_vertices
+    lvl0_idx = np.concatenate([np.asarray(g.idx)
+                               for g in geom.spirals[0].gathers
+                               if g is not None])
+    lap_idx = np.asarray(geom.laplacian.cols).reshape(-1)
+    lvl3_idx = np.concatenate(
+        [np.asarray(g.idx) for g in geom.spirals[3].gathers
+         if g is not None]
+        + [np.asarray(geom.up[3].cols).reshape(-1)])
+    n3 = geom.spirals[3].num_vertices
+    lvl3_idx = np.tile(lvl3_idx, max(1, 200_000 // len(lvl3_idx)))
+
+    def chained_rate(idx, n_src, w, dtype):
+        idx = jnp.asarray(idx.astype(np.int32))
+        src0 = jnp.asarray(rng.normal(size=(n_src, w)).astype(np.float32)
+                           ).astype(dtype)
+        elt = jnp.dtype(dtype).itemsize
+        est_s = int(idx.shape[0]) * w * elt / 250e9
+        delta = max(int(0.08 / max(est_s, 1e-6)), 20)
+        n_short, n_long = 6, 6 + min(delta, 2000)
+
+        def chain(n):
+            def body(s, _):
+                g = jnp.take(s, idx, axis=0).sum(axis=0)
+                return s + (1e-30 * g[None, :]).astype(dtype), ()
+
+            return jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=n)[0])
+
+        f_s, f_l = chain(n_short), chain(n_long)
+        float(f_s(src0)[0, 0])
+        float(f_l(src0)[0, 0])
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f_s(src0)[0, 0])
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(f_l(src0)[0, 0])
+            tl = time.perf_counter() - t0
+            dt = (tl - ts) / (n_long - n_short)
+            best = dt if best is None else min(best, dt)
+        return int(idx.shape[0]) / max(best, 1e-9)
+
+    patterns = {
+        48: (lap_idx, N0),
+        512: (lvl0_idx, N0),
+        1024: (lvl3_idx, n3),
+    }
+    for w, (idx, n_src) in patterns.items():
+        for dtype in (jnp.float32, jnp.bfloat16):
+            r = chained_rate(idx, n_src, w, dtype)
+            elt = jnp.dtype(dtype).itemsize
+            print(f"  width {w:4d} x {jnp.dtype(dtype).name:8s}: "
+                  f"{r/1e6:7.1f} Mrows/s  "
+                  f"({r*w*elt/1e9:5.0f} GB/s effective, "
+                  f"{int(idx.shape[0]):,} rows from {n_src:,})")
+
+    # RCM reordering: does more index locality raise the f32 rate?
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        rows = np.repeat(np.arange(len(lvl0_idx) // 9), 9)[:len(lvl0_idx)]
+        # build vertex-vertex adjacency from the spiral table instead:
+        src = np.tile(np.arange(N0), len(lvl0_idx) // N0)[:len(lvl0_idx)]
+        adj = sp.coo_matrix((np.ones(len(lvl0_idx)), (src, lvl0_idx)),
+                            shape=(N0, N0)).tocsr()
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+        inv = np.empty(N0, dtype=np.int64)
+        inv[perm] = np.arange(N0)
+        idx_rcm = inv[lvl0_idx]
+        r0 = chained_rate(lvl0_idx, N0, 512, jnp.float32)
+        r1 = chained_rate(idx_rcm, N0, 512, jnp.float32)
+        print(f"  RCM reorder @512 f32: {r0/1e6:.1f} -> {r1/1e6:.1f} "
+              f"Mrows/s ({r1/r0:.3f}x)")
+    except Exception as e:  # pragma: no cover
+        print(f"  RCM probe skipped: {e}")
+
+    print(f"contention factor after {matmul_ms() / 2.1:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

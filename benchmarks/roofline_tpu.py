@@ -112,6 +112,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--json", type=str, default=None)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "mixed", "bfloat16"],
+                        help="activation policy to model (default: the "
+                             "flagship craniofacial.yaml's setting)")
     args = parser.parse_args()
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
@@ -127,7 +131,13 @@ def main():
                                                  make_scanned_train_step)
 
     geom = _flagship_geometry()
-    config = SDVAEConfig()
+    if args.compute_dtype is None:
+        from craniofacialsd_vae_tpu.utils import get_config
+        flagship = get_config(os.path.join(REPO, "configurations",
+                                           "craniofacial.yaml"))
+        args.compute_dtype = flagship["model"].get("compute_dtype",
+                                                   "float32")
+    config = SDVAEConfig(compute_dtype=args.compute_dtype)
     params = init_sdvae(jax.random.PRNGKey(0), config, geom)
     opt = optax.adamw(1e-4, weight_decay=0.0)
     rng = np.random.default_rng(0)
@@ -193,18 +203,29 @@ def main():
     # was measured to inflate canary time ~25% vs the scanned step's
     # dispatch-free iterations. The tiny dependent table update adds one
     # stream write/iter (<5% at these sizes).
-    def chained_rate(idx, n_src, w):
-        src0 = jnp.asarray(rng.normal(size=(n_src, w)).astype(np.float32))
+    def row_dtype(w):
+        # mixed policy boundary (models/sdvae.py): the G·3 class (first
+        # conv, Laplacian, final output) stays fp32; deeper rows are bf16
+        if config.compute_dtype == "float32":
+            return jnp.float32
+        if config.compute_dtype == "bfloat16":
+            return jnp.bfloat16
+        return jnp.float32 if w == G * 3 else jnp.bfloat16
+
+    def chained_rate(idx, n_src, w, dtype=jnp.float32):
+        src0 = jnp.asarray(rng.normal(size=(n_src, w)).astype(np.float32)
+                           ).astype(dtype)
+        elt = jnp.dtype(dtype).itemsize
         # chain lengths sized so the long-short delta is ≥80 ms of device
         # work — short slopes drown in tunnel fetch jitter
-        est_s = int(idx.shape[0]) * w * F32 / 250e9
+        est_s = int(idx.shape[0]) * w * elt / 250e9
         delta = max(int(0.08 / max(est_s, 1e-6)), 20)
         n_short, n_long = 6, 6 + min(delta, 2000)
 
         def chain(n):
             def body(s, _):
                 g = jnp.take(s, idx, axis=0).sum(axis=0)
-                return s + 1e-30 * g[None, :], ()
+                return s + (1e-30 * g[None, :]).astype(dtype), ()
 
             return jax.jit(
                 lambda s: jax.lax.scan(body, s, None, length=n)[0])
@@ -227,11 +248,13 @@ def main():
     rates = {}
     for w in sorted(rows):
         idx, n_src = real_pattern(w)
-        rates[w] = chained_rate(idx, n_src, w)
-        print(f"  measured row rate @ {w:4d} floats "
+        dtype = row_dtype(w)
+        rates[w] = chained_rate(idx, n_src, w, dtype)
+        elt = jnp.dtype(dtype).itemsize
+        print(f"  measured row rate @ {w:4d} el × {jnp.dtype(dtype).name} "
               f"(real pattern, {int(idx.shape[0]):,} rows from "
               f"{n_src:,}): {rates[w]/1e6:6.1f} Mrows/s "
-              f"({rates[w]*w*F32/1e9:.0f} GB/s effective)")
+              f"({rates[w]*w*elt/1e9:.0f} GB/s effective)")
 
     bound_ms = sum(n / rates[w] for w, n in rows.items()) * 1e3
 
@@ -285,7 +308,23 @@ def main():
     flat = geom.num_latent_vertices * chans[-1]
     mm_flops += 3 * G * flat * config.latent_size * 2    # mu/logvar/de
     mm_flops *= 3                                        # fwd + dx + dW
-    mm_tflops = 2 * 4096 ** 3 / (matmul_ms() / 1e3) / 1e12
+    if config.deep_dtype == jnp.bfloat16:
+        # deep-level matmuls run with bf16 operands (single MXU pass);
+        # measure the bf16 canary rate for the floor (the fp32 level-0
+        # convs are a small fraction of the FLOPs)
+        ab = a.astype(jnp.bfloat16)
+        mmb = jax.jit(lambda x: jax.lax.dot(
+            x, x, preferred_element_type=jnp.float32))
+        r = mmb(ab)
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            r = mmb(ab)
+        float(r[0, 0])
+        mm_canary_s = (time.perf_counter() - t0) / 10
+    else:
+        mm_canary_s = matmul_ms() / 1e3
+    mm_tflops = 2 * 4096 ** 3 / mm_canary_s / 1e12
     matmul_floor_ms = mm_flops / (mm_tflops * 1e12) * 1e3
 
     # Elementwise/stream traffic: ELU fwd+bwd, swap grid build, losses,
@@ -304,9 +343,12 @@ def main():
         stream_dt = (time.perf_counter() - t0) / 64
     except Exception:
         pass
-    act_bytes = sum(op.num_vertices for op in geom.spirals) * G * 32 * F32
+    act_elt = jnp.dtype(config.deep_dtype).itemsize
+    act_bytes = sum(op.num_vertices for op in geom.spirals) * G * 32 * act_elt
     # shape metadata only — the param buffers were donated into the epoch
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    # level-0 xyz streams (swap grid, losses, recon) stay fp32 under every
+    # policy; deep activation streams follow deep_dtype; params fp32
     stream_bytes = 12 * N0 * G * 3 * F32 + 6 * act_bytes \
         + 7 * n_params * F32
     stream_gbs = 2 * a.nbytes / stream_dt / 1e9 if stream_dt else 600.0
@@ -332,6 +374,7 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
+                "compute_dtype": config.compute_dtype,
                 "rows_by_width": {str(k): v for k, v in rows.items()},
                 "total_rows": total_rows,
                 "row_rates_mrows_per_s": {

@@ -54,8 +54,17 @@ class SDVAEConfig:
     latent_size: int = 75
     is_vae: bool = True
     pre_z_sigmoid: bool = False
-    # activations dtype through the conv/pool stack; params and losses stay
-    # float32. bfloat16 halves the gather bandwidth that dominates the step.
+    # Activation dtype policy through the conv/pool stack; params, latents
+    # and losses always stay float32. Choices:
+    #   "float32"  — everything fp32 (default; bit-parity with the oracles).
+    #   "mixed"    — level-0 ops fp32, deeper levels bfloat16. The step is
+    #     gather-ROW-throughput-bound (docs/PERFORMANCE.md) and bf16 halves
+    #     row bytes; measured on v5e the ≥512-float rows gather 1.3–2.1×
+    #     faster in bf16 while the 48-float (G·3) rows get SLOWER (fall
+    #     below 128-lane alignment), so the first conv, final output,
+    #     Laplacian loss and latent heads stay fp32.
+    #   "bfloat16" — everything bf16 (legacy knob; measured ~5× slower on
+    #     v5e because of the thin level-0 rows — kept for experiments).
     compute_dtype: str = "float32"
 
     @classmethod
@@ -64,15 +73,23 @@ class SDVAEConfig:
             in_channels=model_cfg["in_channels"],
             out_channels=tuple(model_cfg["out_channels"]),
             latent_size=model_cfg["latent_size"],
-            is_vae=kl_weight > 0,
+            # pyyaml parses bare scientific notation ("1e-4") as str
+            is_vae=float(kl_weight) > 0,
             pre_z_sigmoid=model_cfg.get("pre_z_sigmoid", False),
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
         )
 
     @property
     def activation_dtype(self):
+        """Dtype of level-0 activations (width-G·3 gather rows)."""
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" \
             else jnp.float32
+
+    @property
+    def deep_dtype(self):
+        """Dtype of level ≥1 activations (width ≥ G·32 gather rows)."""
+        return jnp.bfloat16 \
+            if self.compute_dtype in ("bfloat16", "mixed") else jnp.float32
 
 
 @jax.tree_util.register_pytree_node_class
@@ -204,6 +221,11 @@ def encode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
         else:
             h = pool(jax.nn.elu(spiral_conv(conv_p, h, geom.spirals[i])),
                      geom.down[i])
+        if i == 0:
+            # boundary of the mixed-precision policy: conv 0 gathered the
+            # thin G·3 rows in activation_dtype; everything deeper gathers
+            # ≥G·32 rows, where bf16 is a measured win (no-op unless mixed)
+            h = h.astype(config.deep_dtype)
     # [num_vert, B, C] → [B, num_vert*C], vertex-major flatten order matches
     # the reference's [B, N, C] flatten for weight-layout parity
     h = jnp.swapaxes(h, 0, 1).reshape(h.shape[1], -1)
@@ -225,7 +247,10 @@ def decode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
     h = z @ params["de_dense"]["w"] + params["de_dense"]["b"]
     h = h.reshape(z.shape[0], num_vert, -1)         # [B, num_vert, C]
     h = jnp.swapaxes(h, 0, 1)                       # vertex-major
-    h = h.astype(config.activation_dtype)
+    # the whole decoder (up-pools, level convs, final conv) gathers rows of
+    # width ≥ G·32 — deep_dtype territory; the final conv's fp32 output
+    # cast below keeps losses and recon in full precision
+    h = h.astype(config.deep_dtype)
     for j, conv_p in enumerate(params["de_convs"]):
         level = n_levels - 1 - j
         h = pool(h, geom.up[level])

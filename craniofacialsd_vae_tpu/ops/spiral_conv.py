@@ -146,6 +146,16 @@ def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
 
 @jax.custom_vjp
 def _spiral_conv_core(w_l, b, x, op: SpiralOp):
+    if x.dtype == jnp.bfloat16:
+        # accumulate the L position products in fp32 (MXU accumulates fp32
+        # natively for bf16 operands — one final rounding instead of L, and
+        # the trailing cast fuses into the last matmul's epilogue)
+        out = b.astype(jnp.float32)
+        for i, g in enumerate(op.gathers):
+            xi = x if g is None else gather_rows(g, x)
+            out = out + jnp.einsum("...c,co->...o", xi, w_l[i],
+                                   preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
     out = b
     for i, g in enumerate(op.gathers):
         xi = x if g is None else gather_rows(g, x)
@@ -177,11 +187,23 @@ def _score_bwd(res, dy):
     for i in op.identity_cols:
         part = jnp.einsum("nbo,co->nbc", dy, w_l[i])
         dx = part if dx is None else dx + part
-    # dW: recompute the cheap forward gathers instead of saving residuals
+    # dW: recompute the cheap forward gathers instead of saving residuals.
+    # For bf16 activations the N·B contraction accumulates in fp32
+    # (preferred_element_type); the cotangent is rounded to the primal's
+    # dtype once at the end — the fp32 master params see one bf16 rounding,
+    # not an accumulated one (the outer param cast restores fp32 leaves).
+    bf16 = x.dtype == jnp.bfloat16
+    acc = {"preferred_element_type": jnp.float32} if bf16 else {}
     dw_l = jnp.stack([
-        jnp.einsum("nbc,nbo->co", x if g is None else gather_rows(g, x), dy)
+        jnp.einsum("nbc,nbo->co", x if g is None else gather_rows(g, x), dy,
+                   **acc)
         for g in op.gathers])
-    db = jnp.sum(dy, axis=tuple(range(dy.ndim - 1)))
+    if bf16:
+        dw_l = dw_l.astype(x.dtype)
+        db = jnp.sum(dy, axis=tuple(range(dy.ndim - 1)),
+                     dtype=jnp.float32).astype(dy.dtype)
+    else:
+        db = jnp.sum(dy, axis=tuple(range(dy.ndim - 1)))
     return dw_l, db, dx, None
 
 

@@ -200,7 +200,14 @@ class VertexShardedModel:
     def _conv(self, tables, l, params, h):
         g = apply_gather(tables, h)                   # [L*S, B, C]
         g = g.reshape(l, -1, *h.shape[1:])            # [L, S, B, C]
-        w_l = params["w"].reshape(l, h.shape[-1], -1)
+        # compute in h.dtype (params cast, like ops.spiral_conv): under the
+        # mixed policy the deep-level halo gathers move bf16 rows; the MXU
+        # accumulates in fp32 and rounds once at the end
+        w_l = params["w"].astype(h.dtype).reshape(l, h.shape[-1], -1)
+        if h.dtype == jnp.bfloat16:
+            out = jnp.einsum("lsbc,lco->sbo", g, w_l,
+                             preferred_element_type=jnp.float32)
+            return (params["b"] + out).astype(h.dtype)
         return params["b"] + jnp.einsum("lsbc,lco->sbo", g, w_l)
 
     def _encode(self, params, tables, h):
@@ -209,9 +216,15 @@ class VertexShardedModel:
             h = self._conv(tables["conv"][i], self.conv_l[i], conv_p, h)
             h = jax.nn.elu(h)
             h = apply_gather(tables["down"][i], h)
+            if i == 0:
+                # mixed-policy boundary (models/sdvae.py encode): conv 0
+                # gathered the thin G·3 rows in fp32; deeper levels gather
+                # ≥G·32-wide rows where bf16 is the measured win
+                h = h.astype(cfg.deep_dtype)
         h_full = jax.lax.all_gather(h, VERTEX_AXIS, axis=0, tiled=True)
         h_full = h_full[:self.counts[-1]]
         flat = jnp.swapaxes(h_full, 0, 1).reshape(h_full.shape[1], -1)
+        flat = flat.astype(jnp.float32)     # latent heads in full precision
         mu = flat @ params["mu"]["w"] + params["mu"]["b"]
         logvar = None
         if cfg.is_vae:
@@ -226,6 +239,9 @@ class VertexShardedModel:
         h = z @ params["de_dense"]["w"] + params["de_dense"]["b"]
         h = h.reshape(z.shape[0], num_vert, -1)
         h = jnp.swapaxes(h, 0, 1)                     # [N_L, B, C]
+        # whole decoder gathers wide rows — deep_dtype territory; the fp32
+        # cast on the final conv's output keeps losses in full precision
+        h = h.astype(self.config.deep_dtype)
         pad = self.shards[-1] * self.n_devices - num_vert
         h = jnp.concatenate(
             [h, jnp.zeros((pad, *h.shape[1:]), h.dtype)], axis=0)
@@ -236,12 +252,15 @@ class VertexShardedModel:
             level = n_levels - 1 - j
             up = apply_gather(tables["up"][level], h)   # [3*S_l, B, C]
             up = up.reshape(3, -1, *h.shape[1:])
-            h = jnp.einsum("ksbc,sk->sbc", up, tables["up_vals_l"][level][0])
+            vals = tables["up_vals_l"][level][0].astype(h.dtype)
+            h = jnp.einsum("ksbc,sk->sbc", up, vals,
+                           preferred_element_type=jnp.float32).astype(
+                               h.dtype)
             h = self._conv(tables["conv"][level], self.conv_l[level],
                            conv_p, h)
             h = jax.nn.elu(h)
         return self._conv(tables["conv"][0], self.conv_l[0],
-                          params["final_conv"], h)
+                          params["final_conv"], h).astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def _build_loss_tables(self):

@@ -51,6 +51,9 @@ DEFAULT_CONFIG = {
         "out_channels": [32, 32, 32, 64],
         "latent_size": 75,
         "pre_z_sigmoid": False,
+        # activation dtype policy: "float32" | "mixed" (level-0 fp32,
+        # deeper levels bf16 — the fast option on TPU) | "bfloat16"
+        "compute_dtype": "float32",
     },
     "logging_frequency": {
         "tb_renderings": 50,
@@ -93,6 +96,10 @@ def validate_config(cfg: dict) -> None:
             f"sampling levels ({n_levels})")
     if len(model["spirals"]["length"]) != n_levels:
         raise ValueError("model.spirals.length must match sampling levels")
+    if model.get("compute_dtype", "float32") not in (
+            "float32", "mixed", "bfloat16"):
+        raise ValueError("model.compute_dtype must be one of "
+                         "'float32', 'mixed', 'bfloat16'")
     opt = cfg["optimization"]
     if float(opt.get("latent_consistency_weight", 0)) > 0 \
             and not cfg["data"].get("swap_features", False):
