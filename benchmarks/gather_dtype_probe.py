@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -36,19 +35,10 @@ def main():
     geom = _flagship_geometry()
     rng = np.random.default_rng(0)
 
-    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
-    mm = jax.jit(lambda a: a @ a)
-
-    def matmul_ms():
-        r = mm(a)
-        float(r[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = mm(a)
-        float(r[0, 0])
-        return (time.perf_counter() - t0) / 10 * 1e3
-
-    print(f"contention factor {matmul_ms() / 2.1:.2f}x")
+    from benchmarks._common import (MATMUL_QUIET_MS, chained_gather_rate,
+                                    make_matmul_canary)
+    matmul_ms = make_matmul_canary(rng)
+    print(f"contention factor {matmul_ms() / MATMUL_QUIET_MS:.2f}x")
 
     N0 = geom.spirals[0].num_vertices
     lvl0_idx = np.concatenate([np.asarray(g.idx)
@@ -63,36 +53,7 @@ def main():
     lvl3_idx = np.tile(lvl3_idx, max(1, 200_000 // len(lvl3_idx)))
 
     def chained_rate(idx, n_src, w, dtype):
-        idx = jnp.asarray(idx.astype(np.int32))
-        src0 = jnp.asarray(rng.normal(size=(n_src, w)).astype(np.float32)
-                           ).astype(dtype)
-        elt = jnp.dtype(dtype).itemsize
-        est_s = int(idx.shape[0]) * w * elt / 250e9
-        delta = max(int(0.08 / max(est_s, 1e-6)), 20)
-        n_short, n_long = 6, 6 + min(delta, 2000)
-
-        def chain(n):
-            def body(s, _):
-                g = jnp.take(s, idx, axis=0).sum(axis=0)
-                return s + (1e-30 * g[None, :]).astype(dtype), ()
-
-            return jax.jit(
-                lambda s: jax.lax.scan(body, s, None, length=n)[0])
-
-        f_s, f_l = chain(n_short), chain(n_long)
-        float(f_s(src0)[0, 0])
-        float(f_l(src0)[0, 0])
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f_s(src0)[0, 0])
-            ts = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(f_l(src0)[0, 0])
-            tl = time.perf_counter() - t0
-            dt = (tl - ts) / (n_long - n_short)
-            best = dt if best is None else min(best, dt)
-        return int(idx.shape[0]) / max(best, 1e-9)
+        return chained_gather_rate(idx, n_src, w, rng, dtype)
 
     patterns = {
         48: (lap_idx, N0),
@@ -112,7 +73,6 @@ def main():
     try:
         import scipy.sparse as sp
         from scipy.sparse.csgraph import reverse_cuthill_mckee
-        rows = np.repeat(np.arange(len(lvl0_idx) // 9), 9)[:len(lvl0_idx)]
         # build vertex-vertex adjacency from the spiral table instead:
         src = np.tile(np.arange(N0), len(lvl0_idx) // N0)[:len(lvl0_idx)]
         adj = sp.coo_matrix((np.ones(len(lvl0_idx)), (src, lvl0_idx)),

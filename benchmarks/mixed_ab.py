@@ -45,19 +45,9 @@ def main():
     B = args.batch
     G = B * B
 
-    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
-    mm = jax.jit(lambda a: a @ a)
-
-    def matmul_ms():
-        r = mm(a)
-        float(r[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = mm(a)
-        float(r[0, 0])
-        return (time.perf_counter() - t0) / 10 * 1e3
-
-    print(f"contention factor {matmul_ms() / 2.1:.2f}x")
+    from benchmarks._common import MATMUL_QUIET_MS, make_matmul_canary
+    matmul_ms = make_matmul_canary(rng)
+    print(f"contention factor {matmul_ms() / MATMUL_QUIET_MS:.2f}x")
 
     weights = LossWeights(kl=1e-4, laplacian=0.1, latent_consistency=0.5)
     opt = optax.adamw(1e-4, weight_decay=0.0)

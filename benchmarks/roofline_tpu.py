@@ -132,11 +132,8 @@ def main():
 
     geom = _flagship_geometry()
     if args.compute_dtype is None:
-        from craniofacialsd_vae_tpu.utils import get_config
-        flagship = get_config(os.path.join(REPO, "configurations",
-                                           "craniofacial.yaml"))
-        args.compute_dtype = flagship["model"].get("compute_dtype",
-                                                   "float32")
+        from craniofacialsd_vae_tpu.utils import flagship_sdvae_config
+        args.compute_dtype = flagship_sdvae_config(REPO).compute_dtype
     config = SDVAEConfig(compute_dtype=args.compute_dtype)
     params = init_sdvae(jax.random.PRNGKey(0), config, geom)
     opt = optax.adamw(1e-4, weight_decay=0.0)
@@ -156,24 +153,16 @@ def main():
     # the matmul canary (same program bench.py compiles — cache hit)
     # gates the measurements. Without a quiet window the ratio is still
     # reported, flagged with the residual factor.
-    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
-    mm = jax.jit(lambda a: a @ a)
+    from benchmarks._common import (MATMUL_QUIET_MS, chained_gather_rate,
+                                    make_matmul_canary)
+    matmul_ms = make_matmul_canary(rng)
 
-    def matmul_ms():
-        r = mm(a)
-        float(r[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = mm(a)
-        float(r[0, 0])
-        return (time.perf_counter() - t0) / 10 * 1e3
-
-    factor = matmul_ms() / 2.1
+    factor = matmul_ms() / MATMUL_QUIET_MS
     t_wait = time.perf_counter()
     while factor > 1.25 and time.perf_counter() - t_wait < 420:
         print(f"  [contention {factor:.2f}x — waiting 20s]")
         time.sleep(20)
-        factor = matmul_ms() / 2.1
+        factor = matmul_ms() / MATMUL_QUIET_MS
     print(f"  measuring at contention factor {factor:.2f}x")
 
     # ---- measured row rates at the step's widths ----------------------
@@ -198,11 +187,9 @@ def main():
         reps = max(1, 200_000 // len(idx))     # statistical mass
         return jnp.asarray(np.tile(idx, reps)), n_src
 
-    # Chained lax.scan per canary: one dispatch + one value fetch per
-    # length, slope cancels the round-trip — per-call pipelined dispatch
-    # was measured to inflate canary time ~25% vs the scanned step's
-    # dispatch-free iterations. The tiny dependent table update adds one
-    # stream write/iter (<5% at these sizes).
+    # Chained-scan slope rates (benchmarks/_common.chained_gather_rate):
+    # one dispatch + one value fetch per chain, slope cancels the
+    # round-trip.
     def row_dtype(w):
         # mixed policy boundary (models/sdvae.py): the G·3 class (first
         # conv, Laplacian, final output) stays fp32; deeper rows are bf16
@@ -212,44 +199,11 @@ def main():
             return jnp.bfloat16
         return jnp.float32 if w == G * 3 else jnp.bfloat16
 
-    def chained_rate(idx, n_src, w, dtype=jnp.float32):
-        src0 = jnp.asarray(rng.normal(size=(n_src, w)).astype(np.float32)
-                           ).astype(dtype)
-        elt = jnp.dtype(dtype).itemsize
-        # chain lengths sized so the long-short delta is ≥80 ms of device
-        # work — short slopes drown in tunnel fetch jitter
-        est_s = int(idx.shape[0]) * w * elt / 250e9
-        delta = max(int(0.08 / max(est_s, 1e-6)), 20)
-        n_short, n_long = 6, 6 + min(delta, 2000)
-
-        def chain(n):
-            def body(s, _):
-                g = jnp.take(s, idx, axis=0).sum(axis=0)
-                return s + (1e-30 * g[None, :]).astype(dtype), ()
-
-            return jax.jit(
-                lambda s: jax.lax.scan(body, s, None, length=n)[0])
-
-        f_s, f_l = chain(n_short), chain(n_long)
-        float(f_s(src0)[0, 0])
-        float(f_l(src0)[0, 0])
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f_s(src0)[0, 0])
-            ts = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(f_l(src0)[0, 0])
-            tl = time.perf_counter() - t0
-            dt = (tl - ts) / (n_long - n_short)
-            best = dt if best is None else min(best, dt)
-        return int(idx.shape[0]) / max(best, 1e-9)
-
     rates = {}
     for w in sorted(rows):
         idx, n_src = real_pattern(w)
         dtype = row_dtype(w)
-        rates[w] = chained_rate(idx, n_src, w, dtype)
+        rates[w] = chained_gather_rate(idx, n_src, w, rng, dtype)
         elt = jnp.dtype(dtype).itemsize
         print(f"  measured row rate @ {w:4d} el × {jnp.dtype(dtype).name} "
               f"(real pattern, {int(idx.shape[0]):,} rows from "

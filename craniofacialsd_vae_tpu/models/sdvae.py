@@ -248,16 +248,16 @@ def decode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
     h = h.reshape(z.shape[0], num_vert, -1)         # [B, num_vert, C]
     h = jnp.swapaxes(h, 0, 1)                       # vertex-major
     # the whole decoder (up-pools, level convs, final conv) gathers rows of
-    # width ≥ G·32 — deep_dtype territory; the final conv's fp32 output
-    # cast below keeps losses and recon in full precision
+    # width ≥ G·32 — deep_dtype territory; the final conv returns its fp32
+    # MXU accumulator unrounded so losses and recon see full precision
     h = h.astype(config.deep_dtype)
     for j, conv_p in enumerate(params["de_convs"]):
         level = n_levels - 1 - j
         h = pool(h, geom.up[level])
         h = spiral_conv(conv_p, h, geom.spirals[level])
         h = jax.nn.elu(h)
-    out = spiral_conv(params["final_conv"], h, geom.spirals[0])
-    return out.astype(jnp.float32)
+    return spiral_conv(params["final_conv"], h, geom.spirals[0],
+                       out_dtype=jnp.float32).astype(jnp.float32)
 
 
 def reparameterize(key, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:

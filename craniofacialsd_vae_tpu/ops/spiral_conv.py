@@ -131,16 +131,27 @@ def spiral_gather(x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
         axis=-1)
 
 
-def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp) -> jnp.ndarray:
+def spiral_conv(params: dict, x: jnp.ndarray, op: SpiralOp,
+                out_dtype=None) -> jnp.ndarray:
     """Vertex-major spiral conv: [N, B, C_in] → [N, B, C_out].
 
     Computes in x.dtype (params are cast), so bfloat16 activations keep the
     whole gather+matmul chain in half precision. Custom VJP: dx flows
     through the combined transpose table (one K≈16 gather instead of nine
-    K_l gathers), dW recomputes the forward gathers."""
+    K_l gathers), dW recomputes the forward gathers.
+
+    out_dtype=float32 with bf16 x returns the fp32 MXU accumulator
+    UNROUNDED — for the final decoder conv, whose output feeds the losses
+    and mm-scale eval metrics (a trailing bf16 round would quantize every
+    reconstructed coordinate at ~2^-8 relative). The backward is
+    unchanged: the incoming fp32 cotangent is rounded to bf16 on entry, so
+    the dy·Wᵀ materialization and its transpose gathers keep half-width
+    rows."""
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
     w_l = w.reshape(op.seq_length, x.shape[-1], w.shape[-1])
+    if out_dtype == jnp.float32 and x.dtype == jnp.bfloat16:
+        return _spiral_conv_core_f32out(w_l, b, x, op)
     return _spiral_conv_core(w_l, b, x, op)
 
 
@@ -208,3 +219,29 @@ def _score_bwd(res, dy):
 
 
 _spiral_conv_core.defvjp(_score_fwd, _score_bwd)
+
+
+@jax.custom_vjp
+def _spiral_conv_core_f32out(w_l, b, x, op: SpiralOp):
+    """bf16 gathers/matmuls, fp32 output: the fp32 accumulator is returned
+    without the trailing bf16 round (final decoder conv only)."""
+    out = b.astype(jnp.float32)
+    for i, g in enumerate(op.gathers):
+        xi = x if g is None else gather_rows(g, x)
+        out = out + jnp.einsum("...c,co->...o", xi, w_l[i],
+                               preferred_element_type=jnp.float32)
+    return out
+
+
+def _score_f32out_fwd(w_l, b, x, op):
+    return _spiral_conv_core_f32out(w_l, b, x, op), (w_l, x, op)
+
+
+def _score_f32out_bwd(res, dy):
+    # round the fp32 cotangent to the primal dtype once, then reuse the
+    # bf16 backward — dg stays half-width, and dw/db accumulate in fp32
+    # there anyway; only db's dtype differs (b is bf16 here too)
+    return _score_bwd(res, dy.astype(res[1].dtype))
+
+
+_spiral_conv_core_f32out.defvjp(_score_f32out_fwd, _score_f32out_bwd)

@@ -197,21 +197,28 @@ class VertexShardedModel:
         """[N, B, C] host array → padded [D*S_0, B, C] for P(vertex)."""
         return _pad_rows_np(np.asarray(x), self.shards[0] * self.n_devices)
 
-    def _conv(self, tables, l, params, h):
+    def _conv(self, tables, l, params, h, out_dtype=None):
         g = apply_gather(tables, h)                   # [L*S, B, C]
         g = g.reshape(l, -1, *h.shape[1:])            # [L, S, B, C]
         # compute in h.dtype (params cast, like ops.spiral_conv): under the
         # mixed policy the deep-level halo gathers move bf16 rows; the MXU
-        # accumulates in fp32 and rounds once at the end
+        # accumulates in fp32 and rounds once at the end — or not at all
+        # when out_dtype=float32 (final conv: recon stays full precision,
+        # ops/spiral_conv._spiral_conv_core_f32out semantics)
         w_l = params["w"].astype(h.dtype).reshape(l, h.shape[-1], -1)
         if h.dtype == jnp.bfloat16:
             out = jnp.einsum("lsbc,lco->sbo", g, w_l,
                              preferred_element_type=jnp.float32)
+            if out_dtype == jnp.float32:
+                return params["b"].astype(jnp.float32) + out
             return (params["b"] + out).astype(h.dtype)
         return params["b"] + jnp.einsum("lsbc,lco->sbo", g, w_l)
 
     def _encode(self, params, tables, h):
         cfg = self.config
+        # level-0 policy boundary (models/sdvae.py encode): fp32 under
+        # "float32"/"mixed", bf16 only under the legacy all-bf16 knob
+        h = h.astype(cfg.activation_dtype)
         for i, conv_p in enumerate(params["en_convs"]):
             h = self._conv(tables["conv"][i], self.conv_l[i], conv_p, h)
             h = jax.nn.elu(h)
@@ -239,8 +246,9 @@ class VertexShardedModel:
         h = z @ params["de_dense"]["w"] + params["de_dense"]["b"]
         h = h.reshape(z.shape[0], num_vert, -1)
         h = jnp.swapaxes(h, 0, 1)                     # [N_L, B, C]
-        # whole decoder gathers wide rows — deep_dtype territory; the fp32
-        # cast on the final conv's output keeps losses in full precision
+        # whole decoder gathers wide rows — deep_dtype territory; the final
+        # conv returns its fp32 accumulator unrounded (losses see full
+        # precision)
         h = h.astype(self.config.deep_dtype)
         pad = self.shards[-1] * self.n_devices - num_vert
         h = jnp.concatenate(
@@ -260,7 +268,8 @@ class VertexShardedModel:
                            conv_p, h)
             h = jax.nn.elu(h)
         return self._conv(tables["conv"][0], self.conv_l[0],
-                          params["final_conv"], h).astype(jnp.float32)
+                          params["final_conv"], h,
+                          out_dtype=jnp.float32).astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def _build_loss_tables(self):

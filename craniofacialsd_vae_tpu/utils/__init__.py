@@ -8,9 +8,9 @@ import shutil
 import numpy as np
 import yaml
 
-__all__ = ["get_config", "save_config_snapshot", "prepare_sub_folder",
-           "class_conversions_and_weights", "DEFAULT_CONFIG",
-           "validate_config"]
+__all__ = ["get_config", "flagship_sdvae_config", "save_config_snapshot",
+           "prepare_sub_folder", "class_conversions_and_weights",
+           "DEFAULT_CONFIG", "validate_config"]
 
 # Keys actually consumed by the pipeline, with defaults. The reference reads
 # config blindly (silently ignoring unknown keys and crashing on missing
@@ -85,6 +85,22 @@ def get_config(path: str) -> dict:
     cfg = _merge(DEFAULT_CONFIG, user or {})
     validate_config(cfg)
     return cfg
+
+
+def flagship_sdvae_config(repo_root: str):
+    """The shipped flagship model config (configurations/craniofacial.yaml,
+    incl. its compute_dtype policy) as an SDVAEConfig — single source for
+    bench.py / benchmarks / __graft_entry__.py so they all measure and
+    compile-check what production runs. Falls back to SDVAEConfig defaults
+    if the yaml is absent (stripped checkouts)."""
+    from craniofacialsd_vae_tpu.models import SDVAEConfig
+
+    path = os.path.join(repo_root, "configurations", "craniofacial.yaml")
+    if not os.path.exists(path):
+        return SDVAEConfig()
+    cfg = get_config(path)
+    return SDVAEConfig.from_dict(cfg["model"],
+                                 cfg["optimization"]["kl_weight"])
 
 
 def validate_config(cfg: dict) -> None:

@@ -101,18 +101,50 @@ class TestMixedPrecision:
         for leaf in jax.tree.leaves(state.params):
             assert leaf.dtype == jnp.float32
 
-    def test_fp32_path_unchanged(self, rng):
+    def test_fp32_path_unchanged(self):
         """The mixed-policy cast points must be no-ops under the default
-        float32 config: identical jaxpr-level results, bit for bit."""
-        from craniofacialsd_vae_tpu.models import SDVAEConfig, forward
+        float32 config. Golden fixture generated from the pre-mixed-policy
+        code (commit f098a95, tests/fixtures/fp32_forward_golden.npz with
+        deterministic geometry rng(11) / params PRNGKey(0) / input
+        rng(77)); any future edit that leaks a rounding into the fp32
+        formulation moves the output by ≥bf16 eps (~4e-3) and trips the
+        1e-6 tolerance."""
+        import os
 
-        geom, _, params = _setup(rng, "float32")
+        from craniofacialsd_vae_tpu.models import (SDVAEConfig, forward,
+                                                   init_sdvae)
+        from tests.test_training import _tiny_geometry
+
+        golden = np.load(os.path.join(os.path.dirname(__file__),
+                                      "fixtures", "fp32_forward_golden.npz"))
+        geom = _tiny_geometry(np.random.default_rng(11))
         config32 = SDVAEConfig(out_channels=(8, 16), latent_size=6)
+        params = init_sdvae(jax.random.PRNGKey(0), config32, geom)
+        out, _, mu, logvar = forward(params, geom, config32,
+                                     jnp.asarray(golden["x"]))
+        np.testing.assert_allclose(np.asarray(out), golden["out"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(mu), golden["mu"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(logvar), golden["logvar"],
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_mixed_recon_not_bf16_quantized(self, rng):
+        """The final decoder conv must return its fp32 accumulator
+        UNROUNDED under the mixed policy: if a trailing bf16 cast sneaks
+        back in, every output value is exactly bf16-representable and this
+        test fails."""
+        from craniofacialsd_vae_tpu.models import forward
+
+        geom, config, params = _setup(rng, "mixed")
         n = geom.region_masks.shape[1]
         x = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32))
-        out_a = forward(params, geom, config32, x)[0]
-        out_b = forward(params, geom, config32, x)[0]
-        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+        out = np.asarray(forward(params, geom, config, x)[0])
+        quantized = out.astype(jnp.bfloat16.dtype).astype(np.float32)
+        frac = float(np.mean(out != quantized))
+        assert frac > 0.5, (
+            f"only {frac:.0%} of recon values carry sub-bf16 precision — "
+            "the final conv output looks bf16-rounded")
 
     def test_data_parallel_scanned_epoch(self, rng):
         """The host-free DP epoch (lax.scan inside shard_map) must accept
