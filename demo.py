@@ -35,11 +35,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--out", type=str, default="demo_out")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu); the axon "
+                             "TPU plugin ignores JAX_PLATFORMS")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
-    setup_jax()
+    setup_jax(platform=args.platform)
 
     from craniofacialsd_vae_tpu.analysis.classifiers import LatentClassifiers
     from craniofacialsd_vae_tpu.analysis.tester import vector_linspace

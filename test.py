@@ -37,6 +37,9 @@ def main():
                         help="prepost_batch: directory of pre/post meshes")
     parser.add_argument("--pairs_excel", type=str, default=None,
                         help="prepost_batch: xlsx/csv pair table")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu); the axon "
+                             "TPU plugin ignores JAX_PLATFORMS")
     args = parser.parse_args()
 
     output_dir = os.path.join(args.output_path, "outputs", args.id)
@@ -46,7 +49,7 @@ def main():
                          "(missing config.yaml — train first)")
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
-    setup_jax()
+    setup_jax(platform=args.platform)
 
     from craniofacialsd_vae_tpu.analysis.tester import Tester
     from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,

@@ -1,14 +1,21 @@
-"""train.py driven as a real CLI (subprocess, CPU platform): the full
-main() wiring — config load, dataset build, scanned-epoch training, the
-in-training eval cadence (image grids + latent traversals at
-save_weights), checkpointing, classifier fitting, latent-stats caching —
-on a tiny synthetic dataset. A second variant exercises --data_parallel
-over virtual devices through the same CLI (the shard_map'd scanned-epoch
-path end-to-end).
+"""The CLI entry points driven as real subprocesses (CPU platform).
+
+train.py: the full main() wiring — config load, dataset build,
+scanned-epoch training, the in-training eval cadence (image grids +
+latent traversals at save_weights), checkpointing, classifier fitting,
+latent-stats caching — on a tiny synthetic dataset. A second variant
+exercises --data_parallel over virtual devices through the same CLI (the
+shard_map'd scanned-epoch path end-to-end).
+
+test.py: the evaluation CLI against the trained smoke run — the standard
+suite (checkpoint resume, classifier reload, eval_metrics.json) plus the
+interpolate experiment (reference test.py:544-567 semantics).
+
+visualize_in_batch.py: the swap-visualization utility end-to-end.
 
 The round-3 review found bugs precisely in this wiring (mid-training
 stats caching, multihost eval gating) that no unit test could see —
-main() had zero test coverage.
+the entry-point main() functions had zero test coverage.
 """
 
 import os
@@ -105,11 +112,76 @@ def _assert_artifacts(out_dir):
     assert os.path.exists(os.path.join(out_dir, "config.yaml"))
 
 
-def test_train_cli_single_chip(cli_workspace):
+@pytest.fixture(scope="module")
+def smoke_run(cli_workspace):
+    """One trained run shared by the single-chip assertion and the eval-CLI
+    tests (training it once keeps the module's subprocess budget sane)."""
     root, cfg_path = cli_workspace
-    proc, out_dir = _run_cli(root, cfg_path, "cli_smoke")
+    return _run_cli(root, cfg_path, "cli_smoke")
+
+
+def test_train_cli_single_chip(smoke_run):
+    proc, out_dir = smoke_run
     _assert_artifacts(out_dir)
     assert "validation accuracy" in proc.stdout
+
+
+def _run_eval_cli(root, run_id, experiment, extra_args=()):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "test.py", "--id", run_id,
+         "--output_path", str(root), "--experiment", experiment,
+         "--platform", "cpu", *extra_args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, \
+        f"test.py {experiment} failed:\n{proc.stdout[-3000:]}\n" \
+        f"{proc.stderr[-3000:]}"
+    return proc, os.path.join(str(root), "outputs", run_id)
+
+
+def test_eval_cli_standard(cli_workspace, smoke_run):
+    """test.py --experiment=standard through the real CLI: config-snapshot
+    load, checkpoint + classifier resume, full quantitative suite,
+    eval_metrics.json on disk and the metrics JSON on stdout."""
+    root, _ = cli_workspace
+    proc, out_dir = _run_eval_cli(root, "cli_smoke", "standard")
+    import json
+    with open(os.path.join(out_dir, "eval_metrics.json")) as f:
+        metrics = json.load(f)
+    assert "recon_errors" in metrics and "diversity" in metrics, metrics
+    assert "recon_errors" in proc.stdout
+    # the suite's figure/render artifacts landed next to the metrics
+    arts = os.listdir(out_dir)
+    assert any(a.startswith("latent_exploration") for a in arts), arts
+
+
+def test_eval_cli_interpolate(cli_workspace, smoke_run):
+    root, _ = cli_workspace
+    proc, out_dir = _run_eval_cli(root, "cli_smoke", "interpolate")
+    assert "interpolations written" in proc.stdout
+    # reference test.py:544-637 artifact set
+    assert os.path.exists(os.path.join(out_dir,
+                                       "interpolate_per_feature.png"))
+
+
+def test_visualize_in_batch_cli(cli_workspace):
+    """visualize_in_batch.py end-to-end on the synthetic template: 16
+    swapped colored PLYs (one per swap-grid cell)."""
+    root, _ = cli_workspace
+    tpl_path = str(root / "template.ply")
+    out = str(root / "swap_viz")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "visualize_in_batch.py", "--template", tpl_path,
+         "--out", out, "--region", "1", "--platform", "cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, \
+        f"visualize_in_batch.py failed:\n{proc.stdout[-2000:]}\n" \
+        f"{proc.stderr[-2000:]}"
+    plys = [f for f in os.listdir(out) if f.endswith(".ply")]
+    assert len(plys) == 16, plys
 
 
 def test_train_cli_data_parallel(cli_workspace):

@@ -20,8 +20,14 @@ def main():
     parser.add_argument("--region", type=int, default=0)
     parser.add_argument("--template", type=str,
                         default="/root/reference/demo_files/template.ply")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu); the axon "
+                             "TPU plugin ignores JAX_PLATFORMS")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    setup_jax(platform=args.platform)
 
     import jax.numpy as jnp
 
