@@ -38,6 +38,11 @@ def main():
     parser.add_argument("--trace", type=str, default=None,
                         help="capture a jax.profiler trace of the largest "
                              "grid's full step into this directory")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="activation policy (default: the flagship "
+                             "config's — grid-64 amortization differs "
+                             "between fp32 and bf16 row regimes)")
     args = parser.parse_args()
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
@@ -57,7 +62,12 @@ def main():
                                                         mse_loss)
 
     geom = _flagship_geometry()
-    config = SDVAEConfig()
+    if args.compute_dtype is None:
+        from craniofacialsd_vae_tpu.utils import flagship_sdvae_config
+        config = flagship_sdvae_config(REPO)
+    else:
+        config = SDVAEConfig(compute_dtype=args.compute_dtype)
+    print(f"compute_dtype: {config.compute_dtype}")
     params = init_sdvae(jax.random.PRNGKey(0), config, geom)
     opt = optax.adamw(1e-4, weight_decay=0.0)
     n = geom.region_masks.shape[1]

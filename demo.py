@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--platform", type=str, default=None,
                         help="force the jax platform (e.g. cpu); the axon "
                              "TPU plugin ignores JAX_PLATFORMS")
+    parser.add_argument("--eig_k", type=int, default=500,
+                        help="Laplacian eigenbasis size for the spectral "
+                             "augmentation demo (lower = faster on CPU)")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -75,11 +78,12 @@ def main():
     print(f"demo meshes: {len(names)}")
     v1 = read_mesh(os.path.join(meshes_dir, names[0])).vertices
     v2 = read_mesh(os.path.join(meshes_dir, names[1])).vertices
-    print("computing Laplacian eigenbasis (k=500) — Chebyshev-filtered "
-          "subspace iteration on-accelerator (reference: minutes of "
-          "laptop ARPACK, README.md:68-69)…")
+    print(f"computing Laplacian eigenbasis (k={args.eig_k}) — "
+          "Chebyshev-filtered subspace iteration on-accelerator "
+          "(reference: minutes of laptop ARPACK, README.md:68-69)…")
     t_eig = time.perf_counter()
-    _, eigvecs = laplacian_eigendecomposition(manager.template, k=500,
+    _, eigvecs = laplacian_eigendecomposition(manager.template,
+                                              k=args.eig_k,
                                               cache_dir=args.out)
     print(f"eigenbasis ready in {time.perf_counter() - t_eig:.1f}s")
     rng = np.random.default_rng(0)
