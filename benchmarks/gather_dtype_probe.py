@@ -88,7 +88,7 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"  RCM probe skipped: {e}")
 
-    print(f"contention factor after {matmul_ms() / 2.1:.2f}x")
+    print(f"contention factor after {matmul_ms() / MATMUL_QUIET_MS:.2f}x")
 
 
 if __name__ == "__main__":

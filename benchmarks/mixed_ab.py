@@ -97,7 +97,7 @@ def main():
               + f"  final tot {finals[name]:.4f}")
     sp = min(results["float32"]) / min(results["mixed"])
     print(f"  mixed speedup: {sp:.3f}x")
-    print(f"contention factor after {matmul_ms() / 2.1:.2f}x")
+    print(f"contention factor after {matmul_ms() / MATMUL_QUIET_MS:.2f}x")
 
 
 if __name__ == "__main__":

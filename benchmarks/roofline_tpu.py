@@ -156,6 +156,9 @@ def main():
     from benchmarks._common import (MATMUL_QUIET_MS, chained_gather_rate,
                                     make_matmul_canary)
     matmul_ms = make_matmul_canary(rng)
+    # local 4096² operand for the bf16-matmul and stream-rate floors below
+    # (the canary's own array lives inside its closure)
+    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
 
     factor = matmul_ms() / MATMUL_QUIET_MS
     t_wait = time.perf_counter()

@@ -126,8 +126,13 @@ def main():
     # host-local base batch (the global jax.Array isn't fully addressable
     # on any single process)
     vis_batch = next(iter(train_iter.base if args.multihost else train_iter))
+    # None (skip the grid) rather than a silent train-batch fallback — a
+    # validation panel showing training meshes misrepresents generalization
     val_vis_batch = next(
-        iter(val_iter.base if args.multihost else val_iter), vis_batch)
+        iter(val_iter.base if args.multihost else val_iter), None)
+    if val_vis_batch is None:
+        print("warning: validation split yields no batch at this global "
+              "batch size — validation image grids disabled")
     is_primary = jax.process_index() == 0
     # Mid-training eval (traversals + image grids) runs single-process
     # jit on the current params. Under a REAL multi-process run the params
@@ -152,7 +157,13 @@ def main():
     print(f"training {model_name}: {len(train_set)} train / "
           f"{len(val_set)} val meshes, epochs {start_epoch}→{epochs}")
     t0 = time.time()
-    grid = batch_size ** 2 if config["data"].get("swap_features") \
+    # meshes processed per optimizer step: under data parallelism each
+    # device builds the B×B swap grid of its LOCAL B meshes
+    # (train_parallel.py), so the global grid is n_dev·B² — NOT the
+    # squared global batch (which would overstate throughput n_dev×)
+    local_b = config["optimization"]["batch_size"]
+    n_dev = batch_size // local_b        # 1 unless --data_parallel/--multihost
+    grid = n_dev * local_b ** 2 if config["data"].get("swap_features") \
         else batch_size
 
     print_cad = max(epochs // 10, 1)
@@ -197,9 +208,10 @@ def main():
                 manager.log_images(vis_batch, writer, epoch - 1,
                                    normalization, "train",
                                    error_max_scale=2)
-                manager.log_images(val_vis_batch, writer, epoch - 1,
-                                   normalization, "validation",
-                                   error_max_scale=2)
+                if val_vis_batch is not None:
+                    manager.log_images(val_vis_batch, writer, epoch - 1,
+                                       normalization, "validation",
+                                       error_max_scale=2)
             if epoch % log_freq["save_weights"] == 0 and is_primary:
                 manager.save_weights(checkpoint_dir, epoch - 1)
                 if eval_midtrain:
@@ -229,8 +241,10 @@ def main():
         if (epoch + 1) % log_freq["tb_renderings"] == 0 and eval_midtrain:
             manager.log_images(vis_batch, writer, epoch, normalization,
                                "train", error_max_scale=2)
-            manager.log_images(val_vis_batch, writer, epoch, normalization,
-                               "validation", error_max_scale=2)
+            if val_vis_batch is not None:
+                manager.log_images(val_vis_batch, writer, epoch,
+                                   normalization, "validation",
+                                   error_max_scale=2)
         if (epoch + 1) % log_freq["save_weights"] == 0 and is_primary:
             manager.save_weights(checkpoint_dir, epoch)
             if eval_midtrain:
