@@ -5,3 +5,6 @@ from .trainer import (LossWeights, TrainState, create_train_state,
                       make_train_step, make_scanned_train_step,
                       make_scanned_train_epochs, make_eval_step,
                       LOSS_KEYS, coupled_adam)
+from .torch_import import (import_reference_checkpoint,
+                           export_reference_checkpoint,
+                           import_reference_mlp)

@@ -1,0 +1,163 @@
+"""Reference torch-checkpoint interop.
+
+The reference saves ``torch.save({'model': net.state_dict()},
+model_<epoch>.pt)`` (reference model_manager.py:682-696) with keys
+
+    en_layers.{i}.conv.layer.{weight,bias}   i < L          (SpiralEnblock)
+    en_layers.{L}.{weight,bias}              first latent Linear
+    en_layers.{L+1}.{weight,bias}            second latent Linear (VAE only)
+    de_layers.0.{weight,bias}                latent → features Linear
+    de_layers.{j}.conv.layer.{weight,bias}   1 ≤ j ≤ L      (SpiralDeblock)
+    de_layers.{L+1}.layer.{weight,bias}      final SpiralConv
+
+where L = len(out_channels). A user migrating from the reference can load
+their trained nets here (``import_reference_checkpoint`` /
+``tools/convert_torch_checkpoint.py``) and hand TPU-trained weights back
+to the reference toolchain (``export_reference_checkpoint``).
+
+Two layout facts make the mapping exact:
+
+* ``nn.Linear`` stores weight [out, in] and computes ``x @ W.T + b``; our
+  dense/conv weights are [in, out] — every weight transposes, biases map
+  verbatim.
+* The spiral flatten order is identical on both sides: the reference's
+  ``index_select(x, indices.view(-1)).view(bs, n, seq*C)``
+  (reference model.py:27-41) orders features seq-major/channel-minor,
+  exactly our packed [L·C_in, C_out] rows (ops/spiral_conv.py), and both
+  flatten the latent heads vertex-major (reference model.py:152 ``x.view(-1,
+  num_vert*C)`` vs models/sdvae.py encode).
+
+One naming quirk (reference model.py:114-119, 146-158): under ``is_vae``
+the encoder's LAST appended linear serves as **mu** (``en_layers[-1]``)
+and the FIRST as **logvar** (``en_layers[-2]``); under AE the single
+linear is mu. Getting this backwards would swap mu/logvar silently — the
+round-trip test pins it against a reference-named torch oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["import_reference_checkpoint", "export_reference_checkpoint",
+           "import_reference_mlp"]
+
+
+def _load_state_dict(path_or_sd, payload_key: str):
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        sd = torch.load(path_or_sd, map_location="cpu",
+                        weights_only=True)
+    else:
+        sd = path_or_sd
+    if isinstance(sd, dict) and payload_key in sd:
+        sd = sd[payload_key]
+    return sd
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def import_reference_checkpoint(path_or_sd, config) -> dict:
+    """Reference ``model_*.pt`` (path, or an already-loaded state dict /
+    {'model': state_dict} wrapper) → our param pytree (init_sdvae layout,
+    fp32 numpy leaves). Raises KeyError on missing keys (e.g. a VAE config
+    against an AE checkpoint) and ValueError on unconsumed keys (wrong
+    architecture for this config)."""
+    import jax.numpy as jnp
+
+    sd = _load_state_dict(path_or_sd, "model")
+    used = set()
+
+    def lin(prefix: str) -> dict:
+        wk, bk = prefix + ".weight", prefix + ".bias"
+        if wk not in sd:
+            raise KeyError(
+                f"reference checkpoint is missing '{wk}' — architecture "
+                f"mismatch with this config (have keys like "
+                f"{sorted(sd)[:4]}…)")
+        used.update((wk, bk))
+        return {"w": jnp.asarray(_to_np(sd[wk]).T),
+                "b": jnp.asarray(_to_np(sd[bk]))}
+
+    n_levels = len(config.out_channels)
+    params = {
+        "en_convs": [lin(f"en_layers.{i}.conv.layer")
+                     for i in range(n_levels)],
+        "de_dense": lin("de_layers.0"),
+        "de_convs": [lin(f"de_layers.{j}.conv.layer")
+                     for j in range(1, n_levels + 1)],
+        "final_conv": lin(f"de_layers.{n_levels + 1}.layer"),
+    }
+    if config.is_vae:
+        params["logvar"] = lin(f"en_layers.{n_levels}")
+        params["mu"] = lin(f"en_layers.{n_levels + 1}")
+    else:
+        params["mu"] = lin(f"en_layers.{n_levels}")
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(
+            f"reference checkpoint has {len(unused)} unconsumed keys "
+            f"(e.g. {sorted(unused)[:3]}) — is_vae/out_channels mismatch "
+            "with this config")
+    return params
+
+
+def export_reference_checkpoint(params: dict, config, path: str) -> None:
+    """Our param pytree → reference-named ``torch.save({'model': ...})``,
+    loadable by the reference's ``Model.load_state_dict``. Accepts live
+    pytrees (lists) and msgpack-restored state dicts (where lists become
+    {"0": ..., "1": ...} dicts)."""
+    import torch
+
+    def seq(node):
+        if isinstance(node, dict) and node and \
+                all(isinstance(k, str) and k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    sd = {}
+
+    def put(prefix: str, leaf: dict) -> None:
+        sd[prefix + ".weight"] = torch.from_numpy(
+            np.ascontiguousarray(_to_np(leaf["w"]).T))
+        sd[prefix + ".bias"] = torch.from_numpy(_to_np(leaf["b"]))
+
+    n_levels = len(config.out_channels)
+    en_convs, de_convs = seq(params["en_convs"]), seq(params["de_convs"])
+    for i in range(n_levels):
+        put(f"en_layers.{i}.conv.layer", en_convs[i])
+    if config.is_vae:
+        put(f"en_layers.{n_levels}", params["logvar"])
+        put(f"en_layers.{n_levels + 1}", params["mu"])
+    else:
+        put(f"en_layers.{n_levels}", params["mu"])
+    put("de_layers.0", params["de_dense"])
+    for j in range(n_levels):
+        put(f"de_layers.{j + 1}.conv.layer", de_convs[j])
+    put(f"de_layers.{n_levels + 1}.layer", params["final_conv"])
+    torch.save({"model": sd}, path)
+
+
+def import_reference_mlp(path_or_sd) -> list:
+    """Reference ``classifier_mlp.pt`` → our MLP head layers
+    (models/mlp.py layout). The reference Sequential interleaves
+    Linear/ReLU, so Linears sit at even indices: ``model.{2i}.weight``."""
+    import jax.numpy as jnp
+
+    sd = _load_state_dict(path_or_sd, "model")
+    layers = []
+    i = 0
+    while f"model.{2 * i}.weight" in sd:
+        layers.append({
+            "w": jnp.asarray(_to_np(sd[f"model.{2 * i}.weight"]).T),
+            "b": jnp.asarray(_to_np(sd[f"model.{2 * i}.bias"])),
+        })
+        i += 1
+    if not layers:
+        raise KeyError(
+            f"no 'model.{{2i}}.weight' keys found (have {sorted(sd)[:4]}…) "
+            "— not a reference MLPClassifier checkpoint")
+    return layers

@@ -1,0 +1,262 @@
+"""Reference torch-checkpoint interop (training/torch_import.py).
+
+The oracle is a torch module tree replicating the reference's exact
+module/state-dict naming and forward semantics (reference model.py:11-182:
+SpiralConv as index_select + nn.Linear, Enblock conv→ELU→pool, Deblock
+pool→conv→ELU, the mu/logvar Linear-ordering quirk under is_vae). A
+random reference checkpoint imported into our param tree must produce the
+same forward outputs, and export→import must round-trip bit-for-bit."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.test_training import _tiny_geometry  # noqa: E402
+
+
+class _SpiralConvT(torch.nn.Module):
+    def __init__(self, cin, cout, idx):
+        super().__init__()
+        # plain attribute, like the reference (model.py:18) — buffers would
+        # leak 'indices' keys into the state dict
+        self.indices = torch.tensor(np.asarray(idx), dtype=torch.long)
+        self.layer = torch.nn.Linear(cin * idx.shape[1], cout)
+
+    def forward(self, x):
+        bs, n = x.size(0), self.indices.size(0)
+        g = torch.index_select(x, 1, self.indices.view(-1)).view(bs, n, -1)
+        return self.layer(g)
+
+
+class _BlockT(torch.nn.Module):
+    """SpiralEnblock/SpiralDeblock both expose the conv as `.conv`."""
+
+    def __init__(self, cin, cout, idx):
+        super().__init__()
+        self.conv = _SpiralConvT(cin, cout, idx)
+
+
+class _RefModel(torch.nn.Module):
+    """State-dict-compatible stand-in for the reference Model
+    (model.py:88-182)."""
+
+    def __init__(self, bundle, config):
+        super().__init__()
+        chans = [config.in_channels] + list(config.out_channels)
+        L = len(config.out_channels)
+        self.is_vae = config.is_vae
+        self.downs = [torch.tensor(d.to_dense(), dtype=torch.float32)
+                      for d in bundle.down_transforms]
+        self.ups = [torch.tensor(u.to_dense(), dtype=torch.float32)
+                    for u in bundle.up_transforms]
+        sp = bundle.spirals
+        self.num_vert = self.downs[-1].shape[0]
+        flat = self.num_vert * chans[-1]
+
+        self.en_layers = torch.nn.ModuleList(
+            [_BlockT(chans[i], chans[i + 1], sp[i]) for i in range(L)])
+        self.en_layers.append(torch.nn.Linear(flat, config.latent_size))
+        if self.is_vae:
+            self.en_layers.append(torch.nn.Linear(flat, config.latent_size))
+
+        oc = config.out_channels
+        self.de_layers = torch.nn.ModuleList(
+            [torch.nn.Linear(config.latent_size, flat)])
+        for idx in range(L):
+            cin = oc[-idx - 1] if idx == 0 else oc[-idx]
+            self.de_layers.append(_BlockT(cin, oc[-idx - 1], sp[-idx - 1]))
+        self.de_layers.append(
+            _SpiralConvT(oc[0], config.in_channels, sp[0]))
+
+    def forward(self, x):                     # [B, N, 3], eval: z = mu
+        L = len(self.downs)
+        h = x
+        for i in range(L):
+            h = torch.nn.functional.elu(self.en_layers[i].conv(h))
+            h = torch.matmul(self.downs[i], h)
+        hflat = h.reshape(x.size(0), -1)
+        # reference model.py:152-158: en_layers[-1] is mu in BOTH modes
+        # (under is_vae the first-appended Linear ends up as logvar)
+        mu = self.en_layers[-1](hflat)
+        logvar = self.en_layers[-2](hflat) if self.is_vae else None
+        z = mu
+        h = self.de_layers[0](z).view(x.size(0), self.num_vert, -1)
+        for i in range(1, L + 1):
+            h = torch.matmul(self.ups[L - i], h)
+            h = torch.nn.functional.elu(self.de_layers[i].conv(h))
+        out = self.de_layers[-1](h)
+        return out, mu, logvar
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    rng = np.random.default_rng(3)
+    geom, bundle = _tiny_geometry(rng, return_bundle=True)
+    return geom, bundle, rng
+
+
+@pytest.mark.parametrize("is_vae", [True, False])
+def test_import_forward_parity(tiny, tmp_path, is_vae):
+    """torch.save a random reference-named checkpoint, import it, and
+    assert the JAX forward matches the torch forward."""
+    from craniofacialsd_vae_tpu.models import SDVAEConfig, forward
+    from craniofacialsd_vae_tpu.training import import_reference_checkpoint
+
+    geom, bundle, rng = tiny
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=is_vae)
+    torch.manual_seed(7 + is_vae)
+    ref = _RefModel(bundle, config)
+    path = str(tmp_path / "model_00000600.pt")
+    torch.save({"model": ref.state_dict()}, path)
+
+    params = import_reference_checkpoint(path, config)
+
+    n = geom.region_masks.shape[1]
+    x = rng.normal(size=(4, n, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_mu, t_logvar = ref(torch.tensor(x))
+    x_vm = jnp.asarray(np.transpose(x, (1, 0, 2)))       # vertex-major
+    out, z, mu, logvar = forward(params, geom, config, x_vm)
+
+    np.testing.assert_allclose(np.asarray(mu), t_mu.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    if is_vae:
+        np.testing.assert_allclose(np.asarray(logvar), t_logvar.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (1, 0, 2)),
+                               t_out.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_export_import_roundtrip(tiny, tmp_path):
+    """export_reference_checkpoint → import_reference_checkpoint is the
+    identity on every leaf, and the exported file loads into the torch
+    oracle via load_state_dict (strict)."""
+    from craniofacialsd_vae_tpu.models import SDVAEConfig, init_sdvae
+    from craniofacialsd_vae_tpu.training import (export_reference_checkpoint,
+                                                 import_reference_checkpoint)
+
+    geom, bundle, _ = tiny
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6)
+    params = init_sdvae(jax.random.PRNGKey(0), config, geom)
+    path = str(tmp_path / "exported.pt")
+    export_reference_checkpoint(params, config, path)
+
+    ref = _RefModel(bundle, config)
+    sd = torch.load(path, map_location="cpu", weights_only=True)["model"]
+    ref.load_state_dict(sd, strict=True)
+
+    back = import_reference_checkpoint(path, config)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(back),
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_rejects_architecture_mismatch(tiny, tmp_path):
+    from craniofacialsd_vae_tpu.models import SDVAEConfig
+    from craniofacialsd_vae_tpu.training import import_reference_checkpoint
+
+    _, bundle, _ = tiny
+    ae_cfg = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=False)
+    vae_cfg = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=True)
+    torch.manual_seed(0)
+    path = str(tmp_path / "ae.pt")
+    torch.save({"model": _RefModel(bundle, ae_cfg).state_dict()}, path)
+    # an AE checkpoint has no second latent Linear → VAE import must fail
+    with pytest.raises(KeyError):
+        import_reference_checkpoint(path, vae_cfg)
+    # and a VAE checkpoint has an extra Linear the AE config can't consume
+    path2 = str(tmp_path / "vae.pt")
+    torch.save({"model": _RefModel(bundle, vae_cfg).state_dict()}, path2)
+    with pytest.raises(ValueError):
+        import_reference_checkpoint(path2, ae_cfg)
+
+
+def test_import_reference_mlp(tmp_path):
+    """Reference MLPClassifier state dict (Sequential Linear/ReLU pairs,
+    reference model.py:191-203) → our head; logits and labels match."""
+    from craniofacialsd_vae_tpu.models.mlp import mlp_apply
+    from craniofacialsd_vae_tpu.training import import_reference_mlp
+
+    torch.manual_seed(11)
+    feats = [6, 8, 4]
+    seq = []
+    for i in range(1, len(feats)):
+        seq += [torch.nn.Linear(feats[i - 1], feats[i]), torch.nn.ReLU()]
+    ref = torch.nn.Module()
+    ref.model = torch.nn.Sequential(*seq)
+    path = str(tmp_path / "classifier_mlp.pt")
+    torch.save({"model": ref.state_dict()}, path)
+
+    layers = import_reference_mlp(path)
+    x = np.random.default_rng(0).normal(size=(5, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = ref.model(torch.tensor(x))
+    logits, labels = mlp_apply(layers, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(logits), t_logits.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    t_labels = torch.max(torch.log_softmax(t_logits, dim=1), dim=1)[1]
+    np.testing.assert_array_equal(np.asarray(labels), t_labels.numpy())
+
+
+def test_convert_cli_roundtrip(tiny, tmp_path):
+    """tools/convert_torch_checkpoint.py end-to-end: torch → our ckpt dir
+    (resumable) and --reverse back to a torch file with identical tensors."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    from craniofacialsd_vae_tpu.models import SDVAEConfig
+
+    geom, bundle, _ = tiny
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6)
+    torch.manual_seed(5)
+    ref = _RefModel(bundle, config)
+    torch_path = str(tmp_path / "model_00000042.pt")
+    torch.save({"model": ref.state_dict()}, torch_path)
+
+    cfg = {
+        "model": {
+            "sampling": {"type": "basic", "sampling_factors": [2, 2]},
+            "spirals": {"length": [5, 5], "dilation": [1, 1]},
+            "in_channels": 3, "out_channels": [8, 16],
+            "latent_size": 6, "pre_z_sigmoid": False,
+        },
+        "optimization": {"kl_weight": 1e-4},
+    }
+    cfg_path = str(tmp_path / "arch.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "checkpoints")
+    run = subprocess.run(
+        [sys.executable, "tools/convert_torch_checkpoint.py",
+         "--torch_model", torch_path, "--config", cfg_path,
+         "--out", out_dir],
+        cwd=repo, capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert os.path.exists(os.path.join(out_dir, "model_00000042.ckpt"))
+
+    back_path = str(tmp_path / "back.pt")
+    run = subprocess.run(
+        [sys.executable, "tools/convert_torch_checkpoint.py",
+         "--torch_model", back_path, "--config", cfg_path,
+         "--out", out_dir, "--reverse"],
+        cwd=repo, capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stdout + run.stderr
+    orig = ref.state_dict()
+    back = torch.load(back_path, map_location="cpu",
+                      weights_only=True)["model"]
+    assert set(orig) == set(back)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k].numpy(), back[k].numpy())

@@ -131,9 +131,10 @@ class TestLosses:
         assert 0.0 <= float(acc) <= 100.0
 
 
-def _tiny_geometry(rng, n_regions=3):
+def _tiny_geometry(rng, n_regions=3, return_bundle=False):
     """A small 2-level hierarchy on a subdivided octahedron for fast
-    model/train tests."""
+    model/train tests. return_bundle additionally returns the raw
+    GeometryBundle (spiral tables + COO transforms) for torch oracles."""
     from craniofacialsd_vae_tpu.geometry import (MeshData, precompute_geometry)
     from craniofacialsd_vae_tpu.geometry.template import template_from_mesh
     from craniofacialsd_vae_tpu.models import SpiralGeometry
@@ -171,7 +172,7 @@ def _tiny_geometry(rng, n_regions=3):
     for i in range(n_regions):
         masks[i, rng.choice(n, size=n // n_regions, replace=False)] = True
     geom.region_masks = jnp.asarray(masks)
-    return geom
+    return (geom, bundle) if return_bundle else geom
 
 
 class TestTrainStep:
