@@ -7,4 +7,5 @@ from .trainer import (LossWeights, TrainState, create_train_state,
                       LOSS_KEYS, coupled_adam)
 from .torch_import import (import_reference_checkpoint,
                            export_reference_checkpoint,
-                           import_reference_mlp)
+                           import_reference_mlp,
+                           import_reference_optimizer)

@@ -39,7 +39,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["import_reference_checkpoint", "export_reference_checkpoint",
-           "import_reference_mlp"]
+           "import_reference_mlp", "import_reference_optimizer"]
 
 
 def _load_state_dict(path_or_sd, payload_key: str):
@@ -139,6 +139,92 @@ def export_reference_checkpoint(params: dict, config, path: str) -> None:
         put(f"de_layers.{j + 1}.conv.layer", de_convs[j])
     put(f"de_layers.{n_levels + 1}.layer", params["final_conv"])
     torch.save({"model": sd}, path)
+
+
+def _reference_param_order(params: dict, config) -> list:
+    """Our param leaves in the reference's ``model.parameters()`` order
+    (module registration order; each Linear yields weight then bias).
+    Returns [(leaf_dict, transpose_moments)] — weights transpose like the
+    param import, biases map verbatim."""
+    n_levels = len(config.out_channels)
+    order = []
+
+    def lin(leaf):
+        order.append((leaf, True))       # weight ([out,in] → [in,out])
+        order.append((leaf, False))      # bias
+
+    for i in range(n_levels):
+        lin(params["en_convs"][i])
+    if config.is_vae:
+        lin(params["logvar"])            # first-appended Linear
+        lin(params["mu"])
+    else:
+        lin(params["mu"])
+    lin(params["de_dense"])
+    for j in range(n_levels):
+        lin(params["de_convs"][j])
+    lin(params["final_conv"])
+    return order
+
+
+def import_reference_optimizer(path_or_sd, params: dict, config, optimizer):
+    """Reference ``optimizer.pt`` (``torch.save({'optimizer':
+    torch.optim.Adam(...).state_dict()})``, reference
+    model_manager.py:686,695-696) → optax state for ``optimizer``
+    (training.coupled_adam over `params`), enabling exact mid-training
+    continuation: torch Adam's per-param exp_avg / exp_avg_sq are the same
+    raw EMAs as optax ScaleByAdamState.mu/.nu (both apply bias correction
+    from the step count at update time), so they map one-to-one in
+    ``model.parameters()`` order with the weight transposes of the param
+    import. Coupled L2 matches by construction (coupled_adam adds decay to
+    the gradient exactly like torch.optim.Adam's weight_decay)."""
+    import jax.numpy as jnp
+    import optax
+
+    sd = _load_state_dict(path_or_sd, "optimizer")
+    state_map = {int(k): v for k, v in sd["state"].items()}
+    order = _reference_param_order(params, config)
+    if len(state_map) != len(order):
+        raise ValueError(
+            f"reference optimizer has state for {len(state_map)} params, "
+            f"this architecture has {len(order)} — config mismatch")
+    steps = {int(np.asarray(_to_np(v["step"]))) for v in state_map.values()}
+    if len(steps) != 1:
+        raise ValueError(f"per-param torch steps disagree ({steps}) — "
+                         "optax keeps one global count")
+    count = jnp.asarray(steps.pop(), jnp.int32)
+
+    import jax
+
+    def build(moment_key: str):
+        # params-shaped tree, then write each torch moment into its leaf
+        # dict in reference order (leaves are {"w","b"} dicts — mutable)
+        tree = jax.tree.map(lambda a: np.zeros(a.shape, np.float32), params)
+        for idx, (leaf, transpose) in enumerate(
+                _reference_param_order(tree, config)):
+            m = _to_np(state_map[idx][moment_key])
+            m = m.T if transpose else m
+            key = "w" if transpose else "b"
+            if m.shape != leaf[key].shape:
+                raise ValueError(
+                    f"optimizer moment {idx} ({moment_key}) has shape "
+                    f"{m.shape}, parameter expects {leaf[key].shape} — "
+                    "architecture mismatch")
+            leaf[key] = jnp.asarray(m)
+        return tree
+
+    mu_tree, nu_tree = build("exp_avg"), build("exp_avg_sq")
+
+    def replace(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(count=count, mu=mu_tree, nu=nu_tree)
+        if isinstance(node, tuple):
+            children = map(replace, node)
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else tuple(children))     # NamedTuple vs plain tuple
+        return node
+
+    return replace(optimizer.init(params))
 
 
 def import_reference_mlp(path_or_sd) -> list:

@@ -180,6 +180,88 @@ def test_import_rejects_architecture_mismatch(tiny, tmp_path):
         import_reference_checkpoint(path2, ae_cfg)
 
 
+@pytest.mark.parametrize("weight_decay", [0.0, 0.01])
+def test_import_optimizer_continuation(tiny, tmp_path, weight_decay):
+    """Exact mid-training continuation: pre-train the torch oracle 3 Adam
+    steps, convert model+optimizer, take ONE more step on each side with
+    the identical loss — the updated parameters must match. This only
+    passes if exp_avg/exp_avg_sq landed on the right leaves with the right
+    transposes AND the coupled-L2 semantics line up."""
+    from craniofacialsd_vae_tpu.models import SDVAEConfig, forward
+    from craniofacialsd_vae_tpu.training import (coupled_adam,
+                                                 import_reference_checkpoint,
+                                                 import_reference_optimizer)
+    import optax
+
+    geom, bundle, rng = tiny
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=True)
+    torch.manual_seed(21)
+    ref = _RefModel(bundle, config)
+    n = geom.region_masks.shape[1]
+    x = rng.normal(size=(4, n, 3)).astype(np.float32)
+    target = rng.normal(size=(4, n, 3)).astype(np.float32)
+    xt, tt = torch.tensor(x), torch.tensor(target)
+
+    def torch_loss():
+        out, mu, logvar = ref(xt)
+        # recon + a small KL so every parameter (incl. the logvar head)
+        # receives a gradient, like real reference training
+        return torch.mean((out - tt) ** 2) - 1e-4 * 0.5 * torch.mean(
+            1 + logvar - mu ** 2 - logvar.exp())
+
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-2,
+                           weight_decay=weight_decay)
+    for _ in range(3):
+        opt.zero_grad()
+        torch_loss().backward()
+        opt.step()
+
+    model_path = str(tmp_path / "model_00000003.pt")
+    torch.save({"model": ref.state_dict()}, model_path)
+    opt_path = str(tmp_path / "optimizer.pt")
+    torch.save({"optimizer": opt.state_dict()}, opt_path)
+
+    opt.zero_grad()
+    torch_loss().backward()
+    opt.step()
+    after = {k: v.detach().numpy().copy()
+             for k, v in ref.state_dict().items()}
+
+    params = import_reference_checkpoint(model_path, config)
+    optimizer = coupled_adam(1e-2, weight_decay)
+    opt_state = import_reference_optimizer(opt_path, params, config,
+                                           optimizer)
+    x_vm = jnp.asarray(np.transpose(x, (1, 0, 2)))
+    t_vm = jnp.asarray(np.transpose(target, (1, 0, 2)))
+
+    def loss_fn(p):
+        out, z, mu, logvar = forward(p, geom, config, x_vm)
+        return jnp.mean((out - t_vm) ** 2) - 1e-4 * 0.5 * jnp.mean(
+            1 + logvar - mu ** 2 - jnp.exp(logvar))
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    def check(prefix, leaf):
+        np.testing.assert_allclose(
+            np.asarray(leaf["w"]), after[prefix + ".weight"].T,
+            rtol=2e-4, atol=2e-6, err_msg=prefix)
+        np.testing.assert_allclose(
+            np.asarray(leaf["b"]), after[prefix + ".bias"],
+            rtol=2e-4, atol=2e-6, err_msg=prefix)
+
+    L = len(config.out_channels)
+    for i in range(L):
+        check(f"en_layers.{i}.conv.layer", new_params["en_convs"][i])
+    check(f"en_layers.{L}", new_params["logvar"])
+    check(f"en_layers.{L + 1}", new_params["mu"])
+    check("de_layers.0", new_params["de_dense"])
+    for j in range(L):
+        check(f"de_layers.{j + 1}.conv.layer", new_params["de_convs"][j])
+    check(f"de_layers.{L + 1}.layer", new_params["final_conv"])
+
+
 def test_import_reference_mlp(tmp_path):
     """Reference MLPClassifier state dict (Sequential Linear/ReLU pairs,
     reference model.py:191-203) → our head; logits and labels match."""

@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--torch_mlp", default=None,
                         help="optional reference classifier_mlp.pt to "
                              "import as the end2end head")
+    parser.add_argument("--torch_opt", default=None,
+                        help="optional reference optimizer.pt — converts "
+                             "the Adam moments too, for exact mid-training "
+                             "continuation")
     parser.add_argument("--epoch", type=int, default=None,
                         help="epoch stamped into the output filename "
                              "(default: parsed from the torch filename, "
@@ -78,6 +82,14 @@ def main():
     params = import_reference_checkpoint(args.torch_model, config)
     clf_params = (import_reference_mlp(args.torch_mlp)
                   if args.torch_mlp else None)
+    opt_state = None
+    if args.torch_opt:
+        from craniofacialsd_vae_tpu.training import (coupled_adam,
+                                                     import_reference_optimizer)
+        optimizer = coupled_adam(float(cfg["optimization"]["lr"]),
+                                 float(cfg["optimization"]["weight_decay"]))
+        opt_state = import_reference_optimizer(args.torch_opt, params,
+                                               config, optimizer)
 
     epoch = args.epoch
     if epoch is None:
@@ -89,8 +101,15 @@ def main():
     out_path = os.path.join(args.out, f"model_{epoch:08d}.ckpt")
     _atomic_write(out_path, serialization.to_bytes(
         {"params": params, "clf_params": clf_params}))
+    if opt_state is not None:
+        _atomic_write(os.path.join(args.out, "optimizer.ckpt"),
+                      serialization.to_bytes(
+                          {"opt_state": opt_state, "clf_opt_state": None,
+                           "epoch": epoch}))
     print(f"{args.torch_model} → {out_path}"
           + (f" (+ MLP head from {args.torch_mlp})" if args.torch_mlp
+             else "")
+          + (" (+ Adam moments from optimizer.pt)" if opt_state is not None
              else ""))
 
 
