@@ -165,6 +165,23 @@ class QDAClassifier:
             c.scalings = [np.asarray(s) for s in skl.scalings_]
         return c
 
+    def to_sklearn(self):
+        """Inverse of from_sklearn: a fitted
+        sklearn.QuadraticDiscriminantAnalysis with OUR factors installed —
+        its predict/decision_function reproduce ours, so a user migrating
+        back to the reference toolchain keeps identical diagnoses."""
+        from sklearn.discriminant_analysis import \
+            QuadraticDiscriminantAnalysis
+        skl = QuadraticDiscriminantAnalysis(store_covariance=True)
+        skl.means_ = np.asarray(self.means, np.float64)
+        skl.covariance_ = [np.asarray(c, np.float64) for c in self.covs]
+        skl.priors_ = np.asarray(self.priors, np.float64)
+        skl.classes_ = np.asarray(self.classes)
+        self._ensure_factors()
+        skl.rotations_ = [np.asarray(r, np.float64) for r in self.rotations]
+        skl.scalings_ = [np.asarray(s, np.float64) for s in self.scalings]
+        return skl
+
     def to_arrays(self, prefix=""):
         return {f"{prefix}means": self.means, f"{prefix}covs": self.covs,
                 f"{prefix}priors": self.priors,
@@ -289,6 +306,31 @@ class LDAClassifier:
         truncated to n_components."""
         return (np.atleast_2d(x) - self.xbar) \
             @ self.scalings[:, :self.n_components]
+
+    def to_sklearn(self):
+        """Inverse of from_sklearn: a fitted svd-solver
+        sklearn.LinearDiscriminantAnalysis carrying OUR hyperplanes and
+        discriminant basis — predict/decision_function/transform all
+        reproduce ours in the reference toolchain."""
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+        skl = LinearDiscriminantAnalysis(
+            solver="svd", n_components=self.n_components,
+            store_covariance=True)
+        skl.means_ = np.asarray(self.means, np.float64)
+        skl.covariance_ = np.asarray(self.cov, np.float64)
+        skl.priors_ = np.asarray(self.priors, np.float64)
+        skl.classes_ = np.asarray(self.classes)
+        skl.xbar_ = np.asarray(self.xbar, np.float64)
+        skl.scalings_ = np.asarray(self.scalings, np.float64)
+        if self.coef is None:
+            raise ValueError("legacy npz-restored LDA lacks hyperplanes; "
+                             "refit before exporting to sklearn")
+        skl.coef_ = np.asarray(self.coef, np.float64)
+        skl.intercept_ = np.asarray(self.intercept, np.float64)
+        # sklearn's transform truncates to min(n_components, C-1, rank)
+        skl._max_components = min(self.n_components,
+                                  self.scalings.shape[1])
+        return skl
 
     def to_arrays(self, prefix=""):
         out = {f"{prefix}means": self.means, f"{prefix}cov": self.cov,
@@ -648,4 +690,26 @@ class LatentClassifiers:
                     ref = pickle.load(f)
                 setattr(self, attr,
                         {k: cls.from_sklearn(v) for k, v in ref.items()})
+        return self
+
+    def save_reference_pickles(self, checkpoint_dir: str):
+        """Inverse of load_reference_pickles: export every fitted LDA/QDA
+        (global + per-region) as sklearn pickles under the reference's
+        filenames, loadable by the reference's test.py workflow."""
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if self.lda is not None:
+            with open(os.path.join(checkpoint_dir,
+                                   "lda_classifier.pkl"), "wb") as f:
+                pickle.dump(self.lda.to_sklearn(), f)
+        if self.qda is not None:
+            with open(os.path.join(checkpoint_dir,
+                                   "qda_classifier.pkl"), "wb") as f:
+                pickle.dump(self.qda.to_sklearn(), f)
+        for name, attr in (("region_ldas.pkl", "region_ldas"),
+                           ("region_qdas.pkl", "region_qdas")):
+            regions = getattr(self, attr, None)
+            if regions:
+                with open(os.path.join(checkpoint_dir, name), "wb") as f:
+                    pickle.dump({k: v.to_sklearn()
+                                 for k, v in regions.items()}, f)
         return self

@@ -279,3 +279,67 @@ class TestMLPTorchParity:
             np.testing.assert_allclose(
                 np.asarray(layer["b"]), lin.bias.detach().numpy(),
                 rtol=1e-4, atol=1e-5)
+
+
+class TestSklearnExport:
+    """to_sklearn / save_reference_pickles: the reverse migration path —
+    our fitted classifiers exported as sklearn objects must reproduce our
+    decisions exactly inside the reference toolchain."""
+
+    def test_qda_to_sklearn_parity(self, blobs):
+        from craniofacialsd_vae_tpu.analysis.classifiers import QDAClassifier
+
+        x, y = blobs
+        ours = QDAClassifier().fit(x, y)
+        skl = ours.to_sklearn()
+        np.testing.assert_array_equal(skl.predict(x), ours.predict(x))
+        np.testing.assert_allclose(skl.predict_proba(x),
+                                   ours.predict_proba(x),
+                                   rtol=1e-8, atol=1e-10)
+        # round-trip: re-import loses nothing
+        back = QDAClassifier.from_sklearn(skl)
+        np.testing.assert_allclose(back.log_posteriors(x),
+                                   ours.log_posteriors(x),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_lda_to_sklearn_parity(self, blobs):
+        from craniofacialsd_vae_tpu.analysis.classifiers import LDAClassifier
+
+        x, y = blobs
+        ours = LDAClassifier().fit(x, y)
+        skl = ours.to_sklearn()
+        np.testing.assert_array_equal(skl.predict(x), ours.predict(x))
+        np.testing.assert_allclose(skl.decision_function(x),
+                                   ours.decision_function(x),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(skl.transform(x),
+                                   ours.transform_sklearn_style(x),
+                                   rtol=1e-8, atol=1e-10)
+        back = LDAClassifier.from_sklearn(skl)
+        np.testing.assert_array_equal(back.predict(x), ours.predict(x))
+
+    def test_save_reference_pickles_roundtrip(self, blobs, tmp_path):
+        from craniofacialsd_vae_tpu.analysis.classifiers import (
+            LatentClassifiers, LDAClassifier, QDAClassifier)
+
+        x, y = blobs
+        zoo = LatentClassifiers(latent_size=4)
+        zoo.lda = LDAClassifier().fit(x, y)
+        zoo.qda = QDAClassifier().fit(x, y)
+        zoo.region_ldas = {"r0": LDAClassifier().fit(x[:, :2], y),
+                           "r1": LDAClassifier().fit(x[:, 2:], y)}
+        zoo.save_reference_pickles(str(tmp_path))
+        for name in ("lda_classifier.pkl", "qda_classifier.pkl",
+                     "region_ldas.pkl"):
+            assert os.path.exists(os.path.join(str(tmp_path), name)), name
+
+        loaded = LatentClassifiers(latent_size=4).load_reference_pickles(
+            str(tmp_path))
+        np.testing.assert_array_equal(loaded.lda.predict(x),
+                                      zoo.lda.predict(x))
+        np.testing.assert_array_equal(loaded.qda.predict(x),
+                                      zoo.qda.predict(x))
+        for k in zoo.region_ldas:
+            xr = x[:, :2] if k == "r0" else x[:, 2:]
+            np.testing.assert_array_equal(loaded.region_ldas[k].predict(xr),
+                                          zoo.region_ldas[k].predict(xr))
