@@ -77,6 +77,16 @@ def compute_latent_stats(manager, output_dir: str, train_iter=None,
         if cache and os.path.exists(path):
             z = np.load(path)
             return {k: z[k] for k in ("means", "stds", "mins", "maxs")}
+        # reference-run directories cache the same stats as z_stats.pkl
+        # (pickled torch tensors, reference test.py:95-117) — consume them
+        # in place when migrating a run
+        ref_pkl = os.path.join(output_dir, "z_stats.pkl")
+        if cache and os.path.exists(ref_pkl):
+            import pickle
+            with open(ref_pkl, "rb") as f:
+                ref = pickle.load(f)
+            return {k: np.asarray(ref[k], dtype=np.float32)
+                    for k in ("means", "stds", "mins", "maxs")}
         latents, _ = manager.train_latents_and_labels
         if latents is None:
             if train_iter is None:

@@ -139,6 +139,28 @@ class TestMetricSemantics:
         stats2 = compute_latent_stats(tiny_manager, str(tmp_path))
         np.testing.assert_allclose(stats2["maxs"], stats["maxs"])
 
+    def test_latent_stats_reads_reference_pkl(self, tiny_manager, tmp_path):
+        """A migrated reference run dir carries z_stats.pkl (pickled torch
+        tensors, reference test.py:95-117) — consumed in place, no npz and
+        no iterator needed."""
+        import pickle
+
+        import torch
+
+        from craniofacialsd_vae_tpu.analysis.tester import \
+            compute_latent_stats
+
+        ref = {"means": torch.arange(6, dtype=torch.float32),
+               "stds": torch.ones(6), "mins": -torch.ones(6),
+               "maxs": torch.full((6,), 2.0)}
+        with open(tmp_path / "z_stats.pkl", "wb") as f:
+            pickle.dump(ref, f)
+        stats = compute_latent_stats(tiny_manager, str(tmp_path))
+        np.testing.assert_allclose(stats["means"], np.arange(6,
+                                                             dtype=np.float32))
+        np.testing.assert_allclose(stats["maxs"], np.full(6, 2.0))
+        assert not os.path.exists(tmp_path / "z_stats.npz")
+
 
 class TestConfig:
     def test_defaults_fill_missing_keys(self, tmp_path):
