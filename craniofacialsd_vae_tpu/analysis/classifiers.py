@@ -156,7 +156,11 @@ class QDAClassifier:
     def from_sklearn(cls, skl) -> "QDAClassifier":
         c = cls()
         c.means = np.asarray(skl.means_)
-        c.covs = np.stack([np.asarray(m) for m in skl.covariance_])
+        # covariance_ requires store_covariance=True (the reference's
+        # setting); decisions use the always-present rotations_/scalings_
+        covs = getattr(skl, "covariance_", None)
+        c.covs = None if covs is None else \
+            np.stack([np.asarray(m) for m in covs])
         c.priors = np.asarray(skl.priors_)
         c.classes = np.asarray(skl.classes_)
         # sklearn's own thin-SVD factors → bit-identical decision values
@@ -290,7 +294,10 @@ class LDAClassifier:
     def from_sklearn(cls, skl) -> "LDAClassifier":
         c = cls()
         c.means = np.asarray(skl.means_)
-        c.cov = np.asarray(skl.covariance_)
+        # covariance_ only exists under store_covariance=True (the
+        # reference's setting); the hyperplane decision path needs no cov
+        cov = getattr(skl, "covariance_", None)
+        c.cov = None if cov is None else np.asarray(cov)
         c.priors = np.asarray(skl.priors_)
         c.classes = np.asarray(skl.classes_)
         c.xbar = np.asarray(getattr(skl, "xbar_", c.priors @ c.means))

@@ -584,5 +584,13 @@ class ModelManager:
                 self.build_classifiers()
             self.classifiers.load(checkpoint_dir)
         except FileNotFoundError:
-            print("Classifiers not trained yet; skipping classifier resume")
+            # a migrated reference run carries sklearn pickles instead of
+            # our classifiers.npz — consume them in place
+            if any(os.path.exists(os.path.join(checkpoint_dir, n))
+                   for n in ("lda_classifier.pkl", "qda_classifier.pkl")):
+                self.classifiers.load_reference_pickles(checkpoint_dir)
+                print("Classifiers loaded from reference sklearn pickles")
+            else:
+                print("Classifiers not trained yet; "
+                      "skipping classifier resume")
         return epoch

@@ -73,9 +73,10 @@ def resume_checkpoint(checkpoint_dir: str, state):
     try:
         model = serialization.from_bytes(
             {"params": state.params, "clf_params": state.clf_params}, blob)
-    except ValueError:
-        # checkpoint written with a different classifier-head architecture —
-        # restore the network and keep the fresh classifier head
+    except (ValueError, TypeError):
+        # checkpoint written with a different classifier-head architecture
+        # (TypeError: stored None vs a live head, e.g. a converted
+        # reference checkpoint) — restore the network, keep the fresh head
         raw = serialization.msgpack_restore(blob)
         params = serialization.from_state_dict(state.params, raw["params"])
         model = {"params": params, "clf_params": state.clf_params}
@@ -104,7 +105,7 @@ def resume_checkpoint(checkpoint_dir: str, state):
                       "reinitializing optimizer state")
                 opt_state = state.opt_state
                 clf_opt_state = state.clf_opt_state
-        except ValueError:
+        except (ValueError, TypeError):
             raw = serialization.msgpack_restore(opt_blob)
             opt_state = serialization.from_state_dict(
                 state.opt_state, raw["opt_state"])

@@ -289,6 +289,83 @@ def test_import_reference_mlp(tmp_path):
     np.testing.assert_array_equal(np.asarray(labels), t_labels.numpy())
 
 
+def test_full_reference_run_migration(cli_workspace, tmp_path):
+    """Capstone migration e2e: simulate a COMPLETE reference run — trained
+    torch net, sklearn classifier pickles, z_stats.pkl, config snapshot —
+    convert the net with the CLI, drop everything into an outputs/<id> dir,
+    and run our evaluation CLI over it. Exercises the converter, the
+    manager's sklearn-pickle classifier fallback, and test.py end-to-end
+    on reference-made artifacts."""
+    import json
+    import pickle
+    import shutil
+    import subprocess
+    import sys
+
+    from sklearn.discriminant_analysis import (
+        LinearDiscriminantAnalysis, QuadraticDiscriminantAnalysis)
+
+    from craniofacialsd_vae_tpu.geometry import (load_template,
+                                                 precompute_geometry)
+    from craniofacialsd_vae_tpu.models import SDVAEConfig
+
+    root, cfg_path = cli_workspace
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # the "reference side": a trained net on the SAME template/hierarchy
+    tpl = load_template(str(root / "template.ply"))
+    bundle = precompute_geometry(tpl, [2, 2], [5, 5], [1, 1])
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=True)
+    torch.manual_seed(13)
+    ref = _RefModel(bundle, config)
+    torch_path = str(tmp_path / "model_00000002.pt")
+    torch.save({"model": ref.state_dict()}, torch_path)
+    # one torch step so the saved Adam state has real moments
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    out, mu, logvar = ref(torch.zeros(2, tpl.num_vertices, 3))
+    (out.square().mean() - 1e-4 * 0.5 * torch.mean(
+        1 + logvar - mu ** 2 - logvar.exp())).backward()
+    opt.step()
+    opt_path = str(tmp_path / "optimizer.pt")
+    torch.save({"optimizer": opt.state_dict()}, opt_path)
+    torch.save({"model": ref.state_dict()}, torch_path)
+
+    run_dir = root / "outputs" / "migrated"
+    ckpt_dir = str(run_dir / "checkpoints")
+    run = subprocess.run(
+        [sys.executable, "tools/convert_torch_checkpoint.py",
+         "--torch_model", torch_path, "--config", cfg_path,
+         "--out", ckpt_dir, "--torch_opt", opt_path],
+        cwd=repo, capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert os.path.exists(os.path.join(ckpt_dir, "optimizer.ckpt"))
+
+    # reference-made sklearn classifiers + z_stats.pkl
+    rng = np.random.default_rng(9)
+    z = rng.normal(size=(30, 6))
+    y = np.repeat(np.arange(3), 10)
+    with open(os.path.join(ckpt_dir, "lda_classifier.pkl"), "wb") as f:
+        pickle.dump(LinearDiscriminantAnalysis(
+            solver="svd", store_covariance=True).fit(z, y), f)
+    with open(os.path.join(ckpt_dir, "qda_classifier.pkl"), "wb") as f:
+        pickle.dump(QuadraticDiscriminantAnalysis().fit(z, y), f)
+    with open(run_dir / "z_stats.pkl", "wb") as f:
+        pickle.dump({"means": torch.zeros(6), "stds": torch.ones(6),
+                     "mins": -torch.ones(6), "maxs": torch.ones(6)}, f)
+    shutil.copy(cfg_path, run_dir / "config.yaml")
+
+    run = subprocess.run(
+        [sys.executable, "test.py", "--id", "migrated",
+         "--output_path", str(root), "--experiment", "classifiers",
+         "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert "loaded from reference sklearn pickles" in run.stdout
+    with open(run_dir / "accuracies.json") as f:
+        accs = json.load(f)
+    assert "accuracy_lda" in accs and "accuracy_qda" in accs, accs
+
+
 def test_convert_cli_roundtrip(tiny, tmp_path):
     """tools/convert_torch_checkpoint.py end-to-end: torch → our ckpt dir
     (resumable) and --reverse back to a torch file with identical tensors."""
