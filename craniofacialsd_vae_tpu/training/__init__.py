@@ -8,4 +8,5 @@ from .trainer import (LossWeights, TrainState, create_train_state,
 from .torch_import import (import_reference_checkpoint,
                            export_reference_checkpoint,
                            import_reference_mlp,
-                           import_reference_optimizer)
+                           import_reference_optimizer,
+                           export_reference_optimizer)

@@ -39,7 +39,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["import_reference_checkpoint", "export_reference_checkpoint",
-           "import_reference_mlp", "import_reference_optimizer"]
+           "import_reference_mlp", "import_reference_optimizer",
+           "export_reference_optimizer"]
 
 
 def _load_state_dict(path_or_sd, payload_key: str):
@@ -112,12 +113,6 @@ def export_reference_checkpoint(params: dict, config, path: str) -> None:
     {"0": ..., "1": ...} dicts)."""
     import torch
 
-    def seq(node):
-        if isinstance(node, dict) and node and \
-                all(isinstance(k, str) and k.isdigit() for k in node):
-            return [node[str(i)] for i in range(len(node))]
-        return node
-
     sd = {}
 
     def put(prefix: str, leaf: dict) -> None:
@@ -126,7 +121,7 @@ def export_reference_checkpoint(params: dict, config, path: str) -> None:
         sd[prefix + ".bias"] = torch.from_numpy(_to_np(leaf["b"]))
 
     n_levels = len(config.out_channels)
-    en_convs, de_convs = seq(params["en_convs"]), seq(params["de_convs"])
+    en_convs, de_convs = _seq(params["en_convs"]), _seq(params["de_convs"])
     for i in range(n_levels):
         put(f"en_layers.{i}.conv.layer", en_convs[i])
     if config.is_vae:
@@ -141,6 +136,15 @@ def export_reference_checkpoint(params: dict, config, path: str) -> None:
     torch.save({"model": sd}, path)
 
 
+def _seq(node):
+    """msgpack-restored pytrees store lists as {"0": ..., "1": ...} dicts
+    (flax state-dict convention) — normalize back to a list."""
+    if isinstance(node, dict) and node and \
+            all(isinstance(k, str) and k.isdigit() for k in node):
+        return [node[str(i)] for i in range(len(node))]
+    return node
+
+
 def _reference_param_order(params: dict, config) -> list:
     """Our param leaves in the reference's ``model.parameters()`` order
     (module registration order; each Linear yields weight then bias).
@@ -153,8 +157,9 @@ def _reference_param_order(params: dict, config) -> list:
         order.append((leaf, True))       # weight ([out,in] → [in,out])
         order.append((leaf, False))      # bias
 
+    en_convs, de_convs = _seq(params["en_convs"]), _seq(params["de_convs"])
     for i in range(n_levels):
-        lin(params["en_convs"][i])
+        lin(en_convs[i])
     if config.is_vae:
         lin(params["logvar"])            # first-appended Linear
         lin(params["mu"])
@@ -162,7 +167,7 @@ def _reference_param_order(params: dict, config) -> list:
         lin(params["mu"])
     lin(params["de_dense"])
     for j in range(n_levels):
-        lin(params["de_convs"][j])
+        lin(de_convs[j])
     lin(params["final_conv"])
     return order
 
@@ -225,6 +230,58 @@ def import_reference_optimizer(path_or_sd, params: dict, config, optimizer):
         return node
 
     return replace(optimizer.init(params))
+
+
+def export_reference_optimizer(opt_state, params: dict, config, path: str,
+                               lr: float, weight_decay: float = 0.0
+                               ) -> None:
+    """Inverse of import_reference_optimizer: our coupled_adam state →
+    ``torch.save({'optimizer': ...})`` loadable by
+    ``torch.optim.Adam(model.parameters(), ...).load_state_dict`` in the
+    reference toolchain, so a TPU-trained run continues there
+    mid-training. lr/weight_decay must be passed because torch's
+    load_state_dict OVERWRITES the live optimizer's hyperparameters with
+    the saved param_groups."""
+    import optax
+    import torch
+
+    adam = None
+
+    def find(node):
+        nonlocal adam
+        if isinstance(node, optax.ScaleByAdamState):
+            adam = node
+        elif isinstance(node, tuple):
+            for c in node:
+                find(c)
+
+    find(opt_state)
+    if adam is None:
+        raise ValueError("no ScaleByAdamState found in the optimizer "
+                         "state — not an adam/coupled_adam state")
+    step = int(np.asarray(adam.count))
+    order_mu = _reference_param_order(adam.mu, config)
+    order_nu = _reference_param_order(adam.nu, config)
+    state, idxs = {}, []
+    for idx, ((mu_leaf, transpose), (nu_leaf, _)) in enumerate(
+            zip(order_mu, order_nu)):
+        key = "w" if transpose else "b"
+        m, v = _to_np(mu_leaf[key]), _to_np(nu_leaf[key])
+        if transpose:
+            m, v = m.T, v.T
+        state[idx] = {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.from_numpy(np.ascontiguousarray(m)),
+            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(v)),
+        }
+        idxs.append(idx)
+    group = {"params": idxs, "lr": float(lr), "betas": (0.9, 0.999),
+             "eps": 1e-8, "weight_decay": float(weight_decay),
+             "amsgrad": False, "maximize": False, "foreach": None,
+             "capturable": False, "differentiable": False, "fused": None,
+             "decoupled_weight_decay": False}
+    torch.save({"optimizer": {"state": state,
+                              "param_groups": [group]}}, path)
 
 
 def import_reference_mlp(path_or_sd) -> list:

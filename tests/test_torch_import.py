@@ -262,6 +262,61 @@ def test_import_optimizer_continuation(tiny, tmp_path, weight_decay):
     check(f"de_layers.{L + 1}.layer", new_params["final_conv"])
 
 
+def test_export_optimizer_roundtrip(tiny, tmp_path):
+    """export_reference_optimizer inverts import_reference_optimizer: a
+    torch Adam state survives torch → ours → torch bit-for-bit and loads
+    into a live torch.optim.Adam that can step."""
+    from craniofacialsd_vae_tpu.models import SDVAEConfig
+    from craniofacialsd_vae_tpu.training import (coupled_adam,
+                                                 export_reference_optimizer,
+                                                 import_reference_checkpoint,
+                                                 import_reference_optimizer)
+
+    geom, bundle, rng = tiny
+    config = SDVAEConfig(out_channels=(8, 16), latent_size=6, is_vae=True)
+    torch.manual_seed(31)
+    ref = _RefModel(bundle, config)
+    n = geom.region_masks.shape[1]
+    xt = torch.tensor(rng.normal(size=(3, n, 3)).astype(np.float32))
+    opt = torch.optim.Adam(ref.parameters(), lr=5e-3, weight_decay=0.02)
+    for _ in range(2):
+        opt.zero_grad()
+        out, mu, logvar = ref(xt)
+        (out.square().mean() - 1e-4 * 0.5 * torch.mean(
+            1 + logvar - mu ** 2 - logvar.exp())).backward()
+        opt.step()
+
+    model_path = str(tmp_path / "model_00000002.pt")
+    torch.save({"model": ref.state_dict()}, model_path)
+    opt_path = str(tmp_path / "optimizer.pt")
+    torch.save({"optimizer": opt.state_dict()}, opt_path)
+
+    params = import_reference_checkpoint(model_path, config)
+    optimizer = coupled_adam(5e-3, 0.02)
+    state = import_reference_optimizer(opt_path, params, config, optimizer)
+    back_path = str(tmp_path / "optimizer_back.pt")
+    export_reference_optimizer(state, params, config, back_path,
+                               lr=5e-3, weight_decay=0.02)
+
+    orig = opt.state_dict()
+    back = torch.load(back_path, map_location="cpu",
+                      weights_only=True)["optimizer"]
+    assert sorted(int(k) for k in orig["state"]) == sorted(back["state"])
+    for k in orig["state"]:
+        for f in ("exp_avg", "exp_avg_sq"):
+            np.testing.assert_array_equal(
+                orig["state"][k][f].numpy(), back["state"][int(k)][f].numpy())
+        assert int(orig["state"][k]["step"]) == int(back["state"][int(k)]
+                                                    ["step"])
+    # and a live torch Adam accepts it and steps
+    opt2 = torch.optim.Adam(ref.parameters(), lr=5e-3, weight_decay=0.02)
+    opt2.load_state_dict(back)
+    opt2.zero_grad()
+    out, mu, logvar = ref(xt)
+    out.square().mean().backward()
+    opt2.step()
+
+
 def test_import_reference_mlp(tmp_path):
     """Reference MLPClassifier state dict (Sequential Linear/ReLU pairs,
     reference model.py:191-203) → our head; logits and labels match."""
@@ -368,7 +423,8 @@ def test_full_reference_run_migration(cli_workspace, tmp_path):
 
 def test_convert_cli_roundtrip(tiny, tmp_path):
     """tools/convert_torch_checkpoint.py end-to-end: torch → our ckpt dir
-    (resumable) and --reverse back to a torch file with identical tensors."""
+    (resumable, optimizer included) and --reverse back to torch files with
+    identical tensors."""
     import subprocess
     import sys
 
@@ -380,8 +436,17 @@ def test_convert_cli_roundtrip(tiny, tmp_path):
     config = SDVAEConfig(out_channels=(8, 16), latent_size=6)
     torch.manual_seed(5)
     ref = _RefModel(bundle, config)
+    # one step so the optimizer has real state to round-trip
+    n = geom.region_masks.shape[1]
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    out, mu, logvar = ref(torch.zeros(2, n, 3))
+    (out.square().mean() - 1e-4 * 0.5 * torch.mean(
+        1 + logvar - mu ** 2 - logvar.exp())).backward()
+    opt.step()
     torch_path = str(tmp_path / "model_00000042.pt")
     torch.save({"model": ref.state_dict()}, torch_path)
+    opt_path = str(tmp_path / "optimizer.pt")
+    torch.save({"optimizer": opt.state_dict()}, opt_path)
 
     cfg = {
         "model": {
@@ -401,10 +466,11 @@ def test_convert_cli_roundtrip(tiny, tmp_path):
     run = subprocess.run(
         [sys.executable, "tools/convert_torch_checkpoint.py",
          "--torch_model", torch_path, "--config", cfg_path,
-         "--out", out_dir],
+         "--out", out_dir, "--torch_opt", opt_path],
         cwd=repo, capture_output=True, text=True, timeout=300)
     assert run.returncode == 0, run.stdout + run.stderr
     assert os.path.exists(os.path.join(out_dir, "model_00000042.ckpt"))
+    assert os.path.exists(os.path.join(out_dir, "optimizer.ckpt"))
 
     back_path = str(tmp_path / "back.pt")
     run = subprocess.run(
@@ -419,3 +485,13 @@ def test_convert_cli_roundtrip(tiny, tmp_path):
     assert set(orig) == set(back)
     for k in orig:
         np.testing.assert_array_equal(orig[k].numpy(), back[k].numpy())
+    # the optimizer round-tripped through our msgpack format too
+    back_opt = torch.load(str(tmp_path / "back_optimizer.pt"),
+                          map_location="cpu",
+                          weights_only=True)["optimizer"]
+    orig_opt = opt.state_dict()
+    for k in orig_opt["state"]:
+        for f in ("exp_avg", "exp_avg_sq"):
+            np.testing.assert_allclose(
+                orig_opt["state"][k][f].numpy(),
+                back_opt["state"][int(k)][f].numpy(), rtol=0, atol=0)

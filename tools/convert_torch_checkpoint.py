@@ -76,7 +76,25 @@ def main():
             raw = serialization.msgpack_restore(f.read())
         export_reference_checkpoint(raw["params"], config,
                                     args.torch_model)
-        print(f"{path} → {args.torch_model} (reference torch format)")
+        msg = f"{path} → {args.torch_model} (reference torch format)"
+        opt_ckpt = os.path.join(args.out, "optimizer.ckpt")
+        if os.path.exists(opt_ckpt):
+            from craniofacialsd_vae_tpu.training import (
+                coupled_adam, export_reference_optimizer)
+            lr = float(cfg["optimization"]["lr"])
+            wd = float(cfg["optimization"]["weight_decay"])
+            optimizer = coupled_adam(lr, wd)
+            with open(opt_ckpt, "rb") as f:
+                raw_opt = serialization.msgpack_restore(f.read())
+            template = optimizer.init(raw["params"])
+            opt_state = serialization.from_state_dict(
+                template, raw_opt["opt_state"])
+            opt_out = os.path.splitext(args.torch_model)[0] \
+                + "_optimizer.pt"
+            export_reference_optimizer(opt_state, raw["params"], config,
+                                       opt_out, lr, wd)
+            msg += f" + {opt_out}"
+        print(msg)
         return
 
     params = import_reference_checkpoint(args.torch_model, config)
