@@ -98,6 +98,11 @@ class QDAClassifier:
 
     def _ensure_factors(self):
         if self.rotations is None:
+            if self.covs is None:
+                raise ValueError(
+                    "QDA has neither covariances nor factorizations — "
+                    "imported from a store_covariance=False pickle and "
+                    "stripped of its rotations/scalings?")
             self._factorize()
 
     @staticmethod
@@ -141,7 +146,15 @@ class QDAClassifier:
         """Draw from the fitted class Gaussian (reference mm.py:509-514)."""
         i = int(np.where(self.classes == class_idx)[0][0])
         rng = np.random.default_rng(seed)
-        return rng.multivariate_normal(self.means[i], self.covs[i], n)
+        if self.covs is None:
+            # store_covariance=False pickle import: rebuild the class
+            # covariance from its factorization R·diag(S2)·Rᵀ
+            self._ensure_factors()
+            r, s = self.rotations[i], self.scalings[i]
+            cov = (r * s) @ r.T
+        else:
+            cov = self.covs[i]
+        return rng.multivariate_normal(self.means[i], cov, n)
 
     def mahalanobis(self, z, class_idx: int) -> float:
         """Mahalanobis distance of z to the class Gaussian
@@ -173,12 +186,16 @@ class QDAClassifier:
         """Inverse of from_sklearn: a fitted
         sklearn.QuadraticDiscriminantAnalysis with OUR factors installed —
         its predict/decision_function reproduce ours, so a user migrating
-        back to the reference toolchain keeps identical diagnoses."""
+        back to the reference toolchain keeps identical diagnoses. A
+        covariance-less instance (imported from a store_covariance=False
+        pickle) exports without covariance_ — decisions never need it."""
         from sklearn.discriminant_analysis import \
             QuadraticDiscriminantAnalysis
-        skl = QuadraticDiscriminantAnalysis(store_covariance=True)
+        skl = QuadraticDiscriminantAnalysis(
+            store_covariance=self.covs is not None)
         skl.means_ = np.asarray(self.means, np.float64)
-        skl.covariance_ = [np.asarray(c, np.float64) for c in self.covs]
+        if self.covs is not None:
+            skl.covariance_ = [np.asarray(c, np.float64) for c in self.covs]
         skl.priors_ = np.asarray(self.priors, np.float64)
         skl.classes_ = np.asarray(self.classes)
         self._ensure_factors()
@@ -187,15 +204,34 @@ class QDAClassifier:
         return skl
 
     def to_arrays(self, prefix=""):
-        return {f"{prefix}means": self.means, f"{prefix}covs": self.covs,
-                f"{prefix}priors": self.priors,
-                f"{prefix}classes": self.classes}
+        out = {f"{prefix}means": self.means, f"{prefix}priors": self.priors,
+               f"{prefix}classes": self.classes}
+        if self.covs is not None:
+            out[f"{prefix}covs"] = self.covs
+        else:
+            # store_covariance=False pickle import: the sklearn factors are
+            # the only decision data — persist them per class (ranks vary)
+            self._ensure_factors()
+            for i, (r, s) in enumerate(zip(self.rotations, self.scalings)):
+                out[f"{prefix}rot{i}"] = r
+                out[f"{prefix}scal{i}"] = s
+        return out
 
     @classmethod
     def from_arrays(cls, z, prefix=""):
-        return cls(means=z[f"{prefix}means"], covs=z[f"{prefix}covs"],
-                   priors=z[f"{prefix}priors"],
-                   classes=z[f"{prefix}classes"])
+        c = cls(means=z[f"{prefix}means"],
+                covs=(z[f"{prefix}covs"]
+                      if f"{prefix}covs" in z else None),
+                priors=z[f"{prefix}priors"],
+                classes=z[f"{prefix}classes"])
+        if c.covs is None and f"{prefix}rot0" in z:
+            c.rotations, c.scalings = [], []
+            i = 0
+            while f"{prefix}rot{i}" in z:
+                c.rotations.append(z[f"{prefix}rot{i}"])
+                c.scalings.append(z[f"{prefix}scal{i}"])
+                i += 1
+        return c
 
 
 # ---------------------------------------------------------------------------
@@ -322,9 +358,10 @@ class LDAClassifier:
         from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
         skl = LinearDiscriminantAnalysis(
             solver="svd", n_components=self.n_components,
-            store_covariance=True)
+            store_covariance=self.cov is not None)
         skl.means_ = np.asarray(self.means, np.float64)
-        skl.covariance_ = np.asarray(self.cov, np.float64)
+        if self.cov is not None:
+            skl.covariance_ = np.asarray(self.cov, np.float64)
         skl.priors_ = np.asarray(self.priors, np.float64)
         skl.classes_ = np.asarray(self.classes)
         skl.xbar_ = np.asarray(self.xbar, np.float64)
@@ -340,11 +377,13 @@ class LDAClassifier:
         return skl
 
     def to_arrays(self, prefix=""):
-        out = {f"{prefix}means": self.means, f"{prefix}cov": self.cov,
+        out = {f"{prefix}means": self.means,
                f"{prefix}priors": self.priors,
                f"{prefix}classes": self.classes,
                f"{prefix}scalings": self.scalings,
                f"{prefix}xbar": self.xbar}
+        if self.cov is not None:     # absent for store_covariance=False
+            out[f"{prefix}cov"] = self.cov  # pickle imports
         if self.coef is not None:
             out[f"{prefix}coef"] = self.coef
             out[f"{prefix}intercept"] = self.intercept
@@ -352,13 +391,12 @@ class LDAClassifier:
 
     @classmethod
     def from_arrays(cls, z, prefix=""):
-        return cls(means=z[f"{prefix}means"], cov=z[f"{prefix}cov"],
+        return cls(means=z[f"{prefix}means"],
+                   cov=z[f"{prefix}cov"] if f"{prefix}cov" in z else None,
                    priors=z[f"{prefix}priors"],
                    classes=z[f"{prefix}classes"],
                    scalings=z[f"{prefix}scalings"], xbar=z[f"{prefix}xbar"],
-                   coef=z.get(f"{prefix}coef")
-                   if hasattr(z, "get") else
-                   (z[f"{prefix}coef"] if f"{prefix}coef" in z else None),
+                   coef=z[f"{prefix}coef"] if f"{prefix}coef" in z else None,
                    intercept=z[f"{prefix}intercept"]
                    if f"{prefix}intercept" in z else None)
 
@@ -430,6 +468,35 @@ class LinearSVM:
     def from_arrays(cls, z, prefix=""):
         return cls(w=z[f"{prefix}w"], b=z[f"{prefix}b"],
                    classes=z[f"{prefix}classes"])
+
+    @classmethod
+    def from_sklearn(cls, skl) -> "LinearSVM":
+        """sklearn LinearSVC (reference mm.py:123, saved as
+        svm_classifier.pkl) → our [D, C] layout. The reference's 5-class
+        setting uses one-vs-rest rows; binary sklearn models keep a single
+        signed hyperplane, expanded here to ±w columns so our two-column
+        argmax matches sklearn's sign rule."""
+        c = cls()
+        coef = np.asarray(skl.coef_, np.float64)
+        intercept = np.asarray(skl.intercept_, np.float64)
+        c.classes = np.asarray(skl.classes_)
+        if coef.shape[0] == 1 and len(c.classes) == 2:
+            coef = np.concatenate([-coef, coef])
+            intercept = np.concatenate([-intercept, intercept])
+        c.w = coef.T
+        c.b = intercept
+        return c
+
+    def to_sklearn(self):
+        """Inverse of from_sklearn: a fitted sklearn.svm.LinearSVC carrying
+        our hyperplanes — predictions match ours in the reference
+        toolchain (multi-class one-vs-rest layout)."""
+        from sklearn.svm import LinearSVC
+        skl = LinearSVC(C=self.c_reg, class_weight="balanced")
+        skl.coef_ = np.asarray(self.w, np.float64).T
+        skl.intercept_ = np.asarray(self.b, np.float64)
+        skl.classes_ = np.asarray(self.classes)
+        return skl
 
 
 # ---------------------------------------------------------------------------
@@ -677,9 +744,10 @@ class LatentClassifiers:
 
     # -- reference interop ----------------------------------------------
     def load_reference_pickles(self, checkpoint_dir: str):
-        """Import the reference's sklearn pickles
-        ({lda,qda}_classifier.pkl, region_{ldas,qdas}.pkl) for bit-parity
-        demo inference."""
+        """Import the reference's saved classifiers
+        ({lda,qda,svm}_classifier.pkl, region_{ldas,qdas}.pkl,
+        mlp_classifier.pt — reference model_manager.py:708-725) for
+        bit-parity demo inference."""
         lda_path = os.path.join(checkpoint_dir, "lda_classifier.pkl")
         if os.path.exists(lda_path):
             with open(lda_path, "rb") as f:
@@ -688,6 +756,20 @@ class LatentClassifiers:
         if os.path.exists(qda_path):
             with open(qda_path, "rb") as f:
                 self.qda = QDAClassifier.from_sklearn(pickle.load(f))
+        svm_path = os.path.join(checkpoint_dir, "svm_classifier.pkl")
+        if os.path.exists(svm_path):
+            with open(svm_path, "rb") as f:
+                self.svm = LinearSVM.from_sklearn(pickle.load(f))
+        mlp_path = os.path.join(checkpoint_dir, "mlp_classifier.pt")
+        if os.path.exists(mlp_path):
+            from ..training.torch_import import import_reference_mlp
+            layers = import_reference_mlp(mlp_path)
+            trainer = MLPTrainer(
+                int(layers[0]["w"].shape[0]),
+                [int(l["w"].shape[1]) for l in layers[:-1]],
+                int(layers[-1]["w"].shape[1]))
+            trainer.params = layers
+            self.mlp = trainer
         for name, attr, cls in (
                 ("region_ldas.pkl", "region_ldas", LDAClassifier),
                 ("region_qdas.pkl", "region_qdas", QDAClassifier)):
@@ -700,9 +782,10 @@ class LatentClassifiers:
         return self
 
     def save_reference_pickles(self, checkpoint_dir: str):
-        """Inverse of load_reference_pickles: export every fitted LDA/QDA
-        (global + per-region) as sklearn pickles under the reference's
-        filenames, loadable by the reference's test.py workflow."""
+        """Inverse of load_reference_pickles: export every fitted
+        classifier (LDA/QDA/SVM, global + per-region) as sklearn pickles
+        under the reference's filenames, loadable by the reference's
+        test.py workflow."""
         os.makedirs(checkpoint_dir, exist_ok=True)
         if self.lda is not None:
             with open(os.path.join(checkpoint_dir,
@@ -712,6 +795,10 @@ class LatentClassifiers:
             with open(os.path.join(checkpoint_dir,
                                    "qda_classifier.pkl"), "wb") as f:
                 pickle.dump(self.qda.to_sklearn(), f)
+        if self.svm is not None:
+            with open(os.path.join(checkpoint_dir,
+                                   "svm_classifier.pkl"), "wb") as f:
+                pickle.dump(self.svm.to_sklearn(), f)
         for name, attr in (("region_ldas.pkl", "region_ldas"),
                            ("region_qdas.pkl", "region_qdas")):
             regions = getattr(self, attr, None)

@@ -79,12 +79,18 @@ def compute_latent_stats(manager, output_dir: str, train_iter=None,
             return {k: z[k] for k in ("means", "stds", "mins", "maxs")}
         # reference-run directories cache the same stats as z_stats.pkl
         # (pickled torch tensors, reference test.py:95-117) — consume them
-        # in place when migrating a run
+        # in place when migrating a run. Like the reference's own cache,
+        # the pkl is never invalidated: it reflects the model state at the
+        # time it was written, so warn loudly (continued training makes it
+        # stale — delete it to recompute).
         ref_pkl = os.path.join(output_dir, "z_stats.pkl")
         if cache and os.path.exists(ref_pkl):
             import pickle
             with open(ref_pkl, "rb") as f:
                 ref = pickle.load(f)
+            print(f"[tester] using migrated latent stats from {ref_pkl} — "
+                  "these reflect the model that wrote them; delete the "
+                  "file to recompute for the current weights")
             return {k: np.asarray(ref[k], dtype=np.float32)
                     for k in ("means", "stds", "mins", "maxs")}
         latents, _ = manager.train_latents_and_labels

@@ -107,10 +107,17 @@ def resume_checkpoint(checkpoint_dir: str, state):
                 clf_opt_state = state.clf_opt_state
         except (ValueError, TypeError):
             raw = serialization.msgpack_restore(opt_blob)
-            opt_state = serialization.from_state_dict(
-                state.opt_state, raw["opt_state"])
-            print("Classifier optimizer mismatch; restored net optimizer "
-                  "state only")
+            # same crash-between-paired-writes guard as the mainline path
+            if int(raw["epoch"]) != epoch:
+                print(f"WARNING: optimizer.ckpt is from epoch "
+                      f"{int(raw['epoch'])} but the latest model "
+                      f"checkpoint is epoch {epoch}; reinitializing "
+                      "optimizer state")
+            else:
+                opt_state = serialization.from_state_dict(
+                    state.opt_state, raw["opt_state"])
+                print("Classifier optimizer mismatch; restored net "
+                      "optimizer state only")
 
     from .trainer import TrainState
 

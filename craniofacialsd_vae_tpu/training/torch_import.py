@@ -232,7 +232,7 @@ def import_reference_optimizer(path_or_sd, params: dict, config, optimizer):
     return replace(optimizer.init(params))
 
 
-def export_reference_optimizer(opt_state, params: dict, config, path: str,
+def export_reference_optimizer(opt_state, config, path: str,
                                lr: float, weight_decay: float = 0.0
                                ) -> None:
     """Inverse of import_reference_optimizer: our coupled_adam state →
@@ -285,9 +285,10 @@ def export_reference_optimizer(opt_state, params: dict, config, path: str,
 
 
 def import_reference_mlp(path_or_sd) -> list:
-    """Reference ``classifier_mlp.pt`` → our MLP head layers
-    (models/mlp.py layout). The reference Sequential interleaves
-    Linear/ReLU, so Linears sit at even indices: ``model.{2i}.weight``."""
+    """Reference ``mlp_classifier.pt`` (model_manager.py:708-711) → our MLP
+    head layers (models/mlp.py layout). The reference Sequential
+    interleaves Linear/ReLU, so Linears sit at even indices:
+    ``model.{2i}.weight``."""
     import jax.numpy as jnp
 
     sd = _load_state_dict(path_or_sd, "model")

@@ -343,3 +343,83 @@ class TestSklearnExport:
             xr = x[:, :2] if k == "r0" else x[:, 2:]
             np.testing.assert_array_equal(loaded.region_ldas[k].predict(xr),
                                           zoo.region_ldas[k].predict(xr))
+
+    def test_svm_sklearn_interop(self, blobs):
+        """LinearSVC pickle → ours (identical predictions) and ours →
+        LinearSVC (identical predictions)."""
+        from sklearn.svm import LinearSVC
+
+        from craniofacialsd_vae_tpu.analysis.classifiers import LinearSVM
+
+        x, y = blobs
+        skl = LinearSVC(class_weight="balanced").fit(x, y)
+        ours = LinearSVM.from_sklearn(skl)
+        np.testing.assert_array_equal(ours.predict(x), skl.predict(x))
+
+        fitted = LinearSVM().fit(x.astype(np.float32), y)
+        back = fitted.to_sklearn()
+        np.testing.assert_array_equal(back.predict(x), fitted.predict(x))
+
+    def test_covarianceless_pickles_roundtrip_npz(self, blobs, tmp_path):
+        """Regression: a zoo populated from store_covariance=False pickles
+        must survive save() → load() (npz used to receive covs=None as a
+        pickled object array that load(allow_pickle=False) rejects), and
+        to_sklearn/sample must keep working from the factorizations."""
+        import pickle
+
+        from sklearn.discriminant_analysis import (
+            LinearDiscriminantAnalysis, QuadraticDiscriminantAnalysis)
+
+        from craniofacialsd_vae_tpu.analysis.classifiers import \
+            LatentClassifiers
+
+        x, y = blobs
+        ckpt = str(tmp_path)
+        with open(os.path.join(ckpt, "lda_classifier.pkl"), "wb") as f:
+            pickle.dump(LinearDiscriminantAnalysis(solver="svd").fit(x, y),
+                        f)
+        with open(os.path.join(ckpt, "qda_classifier.pkl"), "wb") as f:
+            pickle.dump(QuadraticDiscriminantAnalysis().fit(x, y), f)
+
+        zoo = LatentClassifiers(latent_size=4).load_reference_pickles(ckpt)
+        assert zoo.qda.covs is None and zoo.lda.cov is None
+        pred_l, pred_q = zoo.lda.predict(x), zoo.qda.predict(x)
+
+        zoo.save(ckpt)                       # classifiers.npz next to pkls
+        loaded = LatentClassifiers(latent_size=4)
+        loaded.load(ckpt)                    # must not raise
+        np.testing.assert_array_equal(loaded.lda.predict(x), pred_l)
+        np.testing.assert_array_equal(loaded.qda.predict(x), pred_q)
+
+        # exports skip the absent covariances instead of crashing/nan-ing
+        skl_q = zoo.qda.to_sklearn()
+        np.testing.assert_array_equal(skl_q.predict(x), pred_q)
+        assert not hasattr(zoo.lda.to_sklearn(), "covariance_")
+        # sampling rebuilds the class covariance from the factorization
+        s = zoo.qda.sample(int(zoo.qda.classes[0]), n=3, seed=0)
+        assert s.shape == (3, 4) and np.isfinite(s).all()
+
+    def test_reference_mlp_pt_loads_into_zoo(self, tmp_path):
+        """mlp_classifier.pt (the reference's actual filename,
+        model_manager.py:708-711) loads into the zoo and predicts."""
+        import torch
+
+        from craniofacialsd_vae_tpu.analysis.classifiers import \
+            LatentClassifiers
+
+        torch.manual_seed(3)
+        seq = [torch.nn.Linear(4, 8), torch.nn.ReLU(),
+               torch.nn.Linear(8, 3), torch.nn.ReLU()]
+        ref = torch.nn.Module()
+        ref.model = torch.nn.Sequential(*seq)
+        torch.save({"model": ref.state_dict()},
+                   os.path.join(str(tmp_path), "mlp_classifier.pt"))
+
+        zoo = LatentClassifiers(latent_size=4).load_reference_pickles(
+            str(tmp_path))
+        x = np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32)
+        pred = zoo.predict(x, "mlp")
+        with torch.no_grad():
+            logits = ref.model(torch.tensor(x))
+        expect = torch.max(torch.log_softmax(logits, dim=1), dim=1)[1]
+        np.testing.assert_array_equal(np.asarray(pred), expect.numpy())

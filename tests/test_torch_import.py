@@ -295,7 +295,7 @@ def test_export_optimizer_roundtrip(tiny, tmp_path):
     optimizer = coupled_adam(5e-3, 0.02)
     state = import_reference_optimizer(opt_path, params, config, optimizer)
     back_path = str(tmp_path / "optimizer_back.pt")
-    export_reference_optimizer(state, params, config, back_path,
+    export_reference_optimizer(state, config, back_path,
                                lr=5e-3, weight_decay=0.02)
 
     orig = opt.state_dict()

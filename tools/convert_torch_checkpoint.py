@@ -4,12 +4,14 @@
         --torch_model /path/to/model_00000600.pt \
         --config configurations/craniofacial.yaml \
         --out outputs/imported/checkpoints \
-        [--torch_mlp /path/to/classifier_mlp.pt] [--epoch 600] [--reverse]
+        [--torch_mlp /path/to/mlp_classifier.pt] \
+        [--torch_opt /path/to/optimizer.pt] [--epoch 600] [--reverse]
 
 Forward mode writes ``model_%08d.ckpt`` (msgpack, training/checkpoint.py
-layout) into --out, ready for ``train.py --resume`` / ``test.py``. No
-optimizer.ckpt is written — resuming starts Adam fresh, exactly like the
-reference when only net weights are present.
+layout) into --out, ready for ``train.py --resume`` / ``test.py``. With
+--torch_opt the reference's Adam moments convert into optimizer.ckpt
+(exact mid-training continuation); without it Adam starts fresh, exactly
+like the reference when only net weights are present.
 
 --reverse converts OUR latest checkpoint in --out back into a
 reference-named ``torch.save({'model': ...})`` at --torch_model, loadable
@@ -37,7 +39,7 @@ def main():
                         help="checkpoint dir (output, or input with "
                              "--reverse)")
     parser.add_argument("--torch_mlp", default=None,
-                        help="optional reference classifier_mlp.pt to "
+                        help="optional reference mlp_classifier.pt to "
                              "import as the end2end head")
     parser.add_argument("--torch_opt", default=None,
                         help="optional reference optimizer.pt — converts "
@@ -91,8 +93,7 @@ def main():
                 template, raw_opt["opt_state"])
             opt_out = os.path.splitext(args.torch_model)[0] \
                 + "_optimizer.pt"
-            export_reference_optimizer(opt_state, raw["params"], config,
-                                       opt_out, lr, wd)
+            export_reference_optimizer(opt_state, config, opt_out, lr, wd)
             msg += f" + {opt_out}"
         print(msg)
         return
