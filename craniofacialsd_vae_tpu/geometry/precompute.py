@@ -117,14 +117,17 @@ def load_or_compute_geometry(storage_dir: str, template: Template,
     if os.path.exists(ref_transforms) and os.path.exists(ref_spirals):
         low_res, downs, ups = import_reference_transforms(ref_transforms)
         spirals = import_reference_spirals(ref_spirals)
-        bundle = GeometryBundle(template=template,
-                                low_res_templates=low_res,
-                                down_transforms=downs, up_transforms=ups,
-                                spirals=spirals)
-    else:
-        bundle = precompute_geometry(template, sampling_factors,
-                                     spiral_lengths, spiral_dilations,
-                                     region_weighted=region_weighted)
+        # the pickles ARE the cache here — do NOT write our npz next to
+        # them: storage_dir may be a reference installation (read-only in
+        # spirit even when the mount allows writes), and importing the
+        # pickles is fast
+        return GeometryBundle(template=template,
+                              low_res_templates=low_res,
+                              down_transforms=downs, up_transforms=ups,
+                              spirals=spirals)
+    bundle = precompute_geometry(template, sampling_factors,
+                                 spiral_lengths, spiral_dilations,
+                                 region_weighted=region_weighted)
     _save_bundle(cache_path, bundle)
     return bundle
 

@@ -171,3 +171,24 @@ def test_simplify_small_mesh():
     new_fe, down_e = simplify_mesh(verts, faces, edges, 2.0,
                                    edge_length_weighted=True)
     assert new_fe.min() >= 0 and new_fe.max() < down_e.shape[0]
+
+
+@requires_demo
+def test_pickle_backed_storage_dir_is_never_written(template, tmp_path):
+    """A storage dir carrying the reference's transforms.pkl/spirals.pkl
+    (e.g. a reference installation used as precomputed_storage_path) must
+    be treated as read-only: the pickles are imported, and our npz cache
+    must NOT be written next to them (regression: demo runs once polluted
+    /root/reference/demo_files with geometry.npz)."""
+    import shutil
+
+    from craniofacialsd_vae_tpu.geometry import load_or_compute_geometry
+
+    for name in ("transforms.pkl", "spirals.pkl"):
+        shutil.copy(os.path.join(DEMO_FILES, name), tmp_path / name)
+    before = set(os.listdir(tmp_path))
+    bundle = load_or_compute_geometry(str(tmp_path), template,
+                                      [4, 4, 4, 4], [9, 9, 9, 9],
+                                      [1, 1, 1, 1])
+    assert len(bundle.spirals) == 4
+    assert set(os.listdir(tmp_path)) == before, "storage dir was written"
