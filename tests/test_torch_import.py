@@ -395,7 +395,9 @@ def test_full_reference_run_migration(cli_workspace, tmp_path):
     assert run.returncode == 0, run.stdout + run.stderr
     assert os.path.exists(os.path.join(ckpt_dir, "optimizer.ckpt"))
 
-    # reference-made sklearn classifiers + z_stats.pkl
+    # reference-made classifiers (all four kinds) + z_stats.pkl
+    from sklearn.svm import LinearSVC
+
     rng = np.random.default_rng(9)
     z = rng.normal(size=(30, 6))
     y = np.repeat(np.arange(3), 10)
@@ -404,6 +406,13 @@ def test_full_reference_run_migration(cli_workspace, tmp_path):
             solver="svd", store_covariance=True).fit(z, y), f)
     with open(os.path.join(ckpt_dir, "qda_classifier.pkl"), "wb") as f:
         pickle.dump(QuadraticDiscriminantAnalysis().fit(z, y), f)
+    with open(os.path.join(ckpt_dir, "svm_classifier.pkl"), "wb") as f:
+        pickle.dump(LinearSVC(class_weight="balanced").fit(z, y), f)
+    mlp = torch.nn.Module()
+    mlp.model = torch.nn.Sequential(torch.nn.Linear(6, 8), torch.nn.ReLU(),
+                                    torch.nn.Linear(8, 3), torch.nn.ReLU())
+    torch.save({"model": mlp.state_dict()},
+               os.path.join(ckpt_dir, "mlp_classifier.pt"))
     with open(run_dir / "z_stats.pkl", "wb") as f:
         pickle.dump({"means": torch.zeros(6), "stds": torch.ones(6),
                      "mins": -torch.ones(6), "maxs": torch.ones(6)}, f)
@@ -418,7 +427,8 @@ def test_full_reference_run_migration(cli_workspace, tmp_path):
     assert "loaded from reference sklearn pickles" in run.stdout
     with open(run_dir / "accuracies.json") as f:
         accs = json.load(f)
-    assert "accuracy_lda" in accs and "accuracy_qda" in accs, accs
+    for name in ("lda", "qda", "svm", "mlp"):
+        assert f"accuracy_{name}" in accs, (name, accs)
 
 
 def test_convert_cli_roundtrip(tiny, tmp_path):
