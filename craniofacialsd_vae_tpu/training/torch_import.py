@@ -116,9 +116,12 @@ def export_reference_checkpoint(params: dict, config, path: str) -> None:
     sd = {}
 
     def put(prefix: str, leaf: dict) -> None:
+        # owned copies: jax buffers arrive as non-writable numpy views,
+        # which torch.from_numpy warns about
         sd[prefix + ".weight"] = torch.from_numpy(
-            np.ascontiguousarray(_to_np(leaf["w"]).T))
-        sd[prefix + ".bias"] = torch.from_numpy(_to_np(leaf["b"]))
+            np.array(_to_np(leaf["w"]).T, copy=True, order="C"))
+        sd[prefix + ".bias"] = torch.from_numpy(
+            np.array(_to_np(leaf["b"]), copy=True))
 
     n_levels = len(config.out_channels)
     en_convs, de_convs = _seq(params["en_convs"]), _seq(params["de_convs"])
@@ -271,8 +274,9 @@ def export_reference_optimizer(opt_state, config, path: str,
             m, v = m.T, v.T
         state[idx] = {
             "step": torch.tensor(float(step)),
-            "exp_avg": torch.from_numpy(np.ascontiguousarray(m)),
-            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(v)),
+            "exp_avg": torch.from_numpy(np.array(m, copy=True, order="C")),
+            "exp_avg_sq": torch.from_numpy(
+                np.array(v, copy=True, order="C")),
         }
         idxs.append(idx)
     group = {"params": idxs, "lr": float(lr), "betas": (0.9, 0.999),
