@@ -430,6 +430,17 @@ def test_full_reference_run_migration(cli_workspace, tmp_path):
     for name in ("lda", "qda", "svm", "mlp"):
         assert f"accuracy_{name}" in accs, (name, accs)
 
+    # ... and training CONTINUES from the migrated net + Adam moments
+    run = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg_path,
+         "--id", "migrated", "--output_path", str(root),
+         "--resume", "--epochs", "4", "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert run.returncode == 0, run.stdout[-3000:] + run.stderr[-3000:]
+    ckpts = os.listdir(ckpt_dir)
+    assert any(c > "model_00000002.ckpt" and c.startswith("model_")
+               for c in ckpts), ckpts
+
 
 def test_convert_cli_roundtrip(tiny, tmp_path):
     """tools/convert_torch_checkpoint.py end-to-end: torch → our ckpt dir
