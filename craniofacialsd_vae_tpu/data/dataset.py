@@ -270,6 +270,17 @@ def _load_split_arrays(root, names, summary, mean, std, normalize,
     return arrays
 
 
+def _import_reference_norm(path):
+    """Reference norm.pt: torch {'mean','std'} [N,3] tensors (reference
+    data_loading.py:231-252). torch.std there is Bessel-corrected (ddof=1),
+    same as our own computation, so the stats are interchangeable."""
+    import torch
+
+    d = torch.load(path, map_location="cpu", weights_only=True)
+    return (d["mean"].numpy().astype(np.float32),
+            d["std"].numpy().astype(np.float32))
+
+
 def build_datasets(config: dict, template, seed: int = 0):
     """→ (train, val, test: MeshArrays, normalization_dict, class_weights).
 
@@ -307,11 +318,16 @@ def build_datasets(config: dict, template, seed: int = 0):
             json.dump({"train": train_names, "test": test_names,
                        "val": val_names}, f)
 
-    # normalization stats over the train split (cached)
+    # normalization stats over the train split (cached; a migrated
+    # reference precomputed dir carries torch norm.pt instead — import it
+    # and treat the .pt as the cache, writing nothing next to it)
     norm_path = os.path.join(precomp, "norm.npz")
+    ref_norm_path = os.path.join(precomp, "norm.pt")
     if os.path.exists(norm_path):
         z = np.load(norm_path)
         mean, std = z["mean"], z["std"]
+    elif os.path.exists(ref_norm_path):
+        mean, std = _import_reference_norm(ref_norm_path)
     else:
         acc = None
         for i, name in enumerate(train_names):

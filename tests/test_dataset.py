@@ -74,6 +74,42 @@ class TestSplits:
         recon = train.x[0] * norm["std"] + norm["mean"]
         np.testing.assert_allclose(recon, raw, rtol=1e-4, atol=1e-5)
 
+    def test_reference_precomputed_dir_migrates(self, mesh_dir, tmp_path):
+        """A reference precomputed dir (data_split.json + torch norm.pt,
+        reference data_loading.py:180-252) is consumed as-is: the split
+        lists and normalization stats are honored bit-for-bit and the .pt
+        stays the cache — no norm.npz is written next to it."""
+        import torch
+
+        from craniofacialsd_vae_tpu.data.dataset import build_datasets
+
+        root, tpl = mesh_dir
+        # first, our own build in a scratch dir to get ground-truth stats
+        own = _config(root, str(tmp_path / "own"))
+        train0, val0, test0, norm0, _ = build_datasets(own, tpl)
+
+        migrated = tmp_path / "migrated"
+        migrated.mkdir()
+        with open(tmp_path / "own" / "data_split.json") as f:
+            split = json.load(f)
+        with open(migrated / "data_split.json", "w") as f:
+            json.dump(split, f)
+        # perturb the stats slightly so we can tell .pt was actually read
+        mean = torch.tensor(norm0["mean"] + 0.5)
+        std = torch.tensor(norm0["std"] * 2.0)
+        torch.save({"mean": mean, "std": std}, migrated / "norm.pt")
+
+        cfg = _config(root, str(migrated))
+        train, val, test, norm, _ = build_datasets(cfg, tpl)
+        assert train.names == train0.names
+        np.testing.assert_array_equal(norm["mean"], mean.numpy())
+        np.testing.assert_array_equal(norm["std"], std.numpy())
+        assert not os.path.exists(migrated / "norm.npz")
+        # and the normalization used the imported stats
+        np.testing.assert_allclose(
+            train.x[0] * norm["std"] + norm["mean"],
+            train0.x[0] * norm0["std"] + norm0["mean"], rtol=1e-4, atol=1e-4)
+
     def test_deterministic_modulo_split(self, mesh_dir, tmp_path):
         from craniofacialsd_vae_tpu.data.dataset import split_files
 
