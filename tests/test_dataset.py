@@ -110,6 +110,35 @@ class TestSplits:
             train.x[0] * norm["std"] + norm["mean"],
             train0.x[0] * norm0["std"] + norm0["mean"], rtol=1e-4, atol=1e-4)
 
+    def test_real_reference_norm_pt(self, tmp_path):
+        """The ACTUAL reference norm.pt (17,039-vertex stats shipped with
+        demo_files) loads and normalizes the shipped demo meshes."""
+        import shutil
+
+        from tests.conftest import DEMO_FILES, has_demo_files
+
+        if not has_demo_files():
+            pytest.skip("reference demo_files not mounted")
+        import torch
+
+        from craniofacialsd_vae_tpu.data.dataset import build_datasets
+        from craniofacialsd_vae_tpu.geometry import load_template, read_mesh
+
+        tpl = load_template(os.path.join(DEMO_FILES, "template.ply"))
+        shutil.copy(os.path.join(DEMO_FILES, "norm.pt"), tmp_path / "norm.pt")
+        cfg = _config(os.path.join(DEMO_FILES, "meshes"), str(tmp_path),
+                      stratified_split=False)
+        train, val, test, norm, _ = build_datasets(cfg, tpl)
+        ref = torch.load(os.path.join(DEMO_FILES, "norm.pt"),
+                         map_location="cpu", weights_only=True)
+        np.testing.assert_array_equal(
+            norm["mean"], ref["mean"].numpy().astype(np.float32))
+        assert not os.path.exists(tmp_path / "norm.npz")
+        raw = read_mesh(os.path.join(
+            DEMO_FILES, "meshes", train.names[0])).vertices
+        np.testing.assert_allclose(train.x[0] * norm["std"] + norm["mean"],
+                                   raw, rtol=1e-3, atol=1e-4)
+
     def test_deterministic_modulo_split(self, mesh_dir, tmp_path):
         from craniofacialsd_vae_tpu.data.dataset import split_files
 
