@@ -60,8 +60,12 @@ def main():
         512: (lvl0_idx, N0),
         1024: (lvl3_idx, n3),
     }
+    # int8 is a HEADROOM measurement only (no int8 activation path is
+    # shipped): if 512-element rows gather at byte rate, int8 would halve
+    # the dominant wall again — the open question is training numerics
+    # (dW contracts gathered activations), not bandwidth.
     for w, (idx, n_src) in patterns.items():
-        for dtype in (jnp.float32, jnp.bfloat16):
+        for dtype in (jnp.float32, jnp.bfloat16, jnp.int8):
             r = chained_rate(idx, n_src, w, dtype)
             elt = jnp.dtype(dtype).itemsize
             print(f"  width {w:4d} x {jnp.dtype(dtype).name:8s}: "

@@ -1,0 +1,63 @@
+#!/bin/bash
+# One-shot unattended queue for the chip-bound round-3 tasks.
+# Waits for the TPU tunnel, then runs each task sequentially with logs
+# under /tmp/tpu_queue/. Safe to re-run: completed steps are skipped via
+# stamp files.
+set -u
+cd /root/repo
+mkdir -p /tmp/tpu_queue
+LOG=/tmp/tpu_queue
+
+stamp() { [ -f "$LOG/$1.done" ]; }
+mark()  { touch "$LOG/$1.done"; }
+
+echo "[queue] waiting for TPU tunnel..." | tee -a $LOG/queue.log
+while true; do
+  if timeout 80 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+    echo "[queue] tunnel UP at $(date)" | tee -a $LOG/queue.log
+    break
+  fi
+  echo "[queue] down at $(date)" >> $LOG/queue.log
+  sleep 180
+done
+
+if ! stamp entry; then
+  echo "[queue] entry check..." | tee -a $LOG/queue.log
+  timeout 900 python __graft_entry__.py > $LOG/entry.log 2>&1 \
+    && mark entry || echo "[queue] entry FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
+if ! stamp roofline; then
+  echo "[queue] roofline (mixed)..." | tee -a $LOG/queue.log
+  timeout 1800 python benchmarks/roofline_tpu.py \
+    --json benchmarks/roofline_tpu_mixed.json > $LOG/roofline.log 2>&1 \
+    && mark roofline || echo "[queue] roofline FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
+if ! stamp bench; then
+  echo "[queue] bench..." | tee -a $LOG/queue.log
+  timeout 2400 python bench.py > $LOG/bench.log 2>&1 \
+    && mark bench || echo "[queue] bench FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
+if ! stamp train; then
+  echo "[queue] flagship mixed retrain..." | tee -a $LOG/queue.log
+  timeout 5400 python train.py --config=configurations/craniofacial.yaml \
+    --id=cranio600_mixed > $LOG/train.log 2>&1 \
+    && mark train || echo "[queue] train FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
+if stamp train && ! stamp eval; then
+  echo "[queue] flagship eval..." | tee -a $LOG/queue.log
+  timeout 3600 python test.py --id=cranio600_mixed > $LOG/eval.log 2>&1 \
+    && mark eval || echo "[queue] eval FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
+echo "[queue] DONE at $(date)" | tee -a $LOG/queue.log
+
+if ! stamp dtypeprobe; then
+  echo "[queue] gather dtype probe (incl int8 headroom)..." | tee -a $LOG/queue.log
+  timeout 1200 python benchmarks/gather_dtype_probe.py > $LOG/dtypeprobe.log 2>&1 \
+    && mark dtypeprobe || echo "[queue] dtypeprobe FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+echo "[queue] ALL DONE at $(date)" | tee -a $LOG/queue.log
