@@ -30,7 +30,7 @@ fi
 if ! stamp roofline; then
   echo "[queue] roofline (mixed)..." | tee -a $LOG/queue.log
   timeout 1800 python benchmarks/roofline_tpu.py \
-    --json benchmarks/roofline_tpu_mixed.json > $LOG/roofline.log 2>&1 \
+    --json benchmarks/roofline_tpu.json > $LOG/roofline.log 2>&1 \
     && mark roofline || echo "[queue] roofline FAILED rc=$?" | tee -a $LOG/queue.log
 fi
 
@@ -52,8 +52,6 @@ if stamp train && ! stamp eval; then
   timeout 3600 python test.py --id=cranio600_mixed > $LOG/eval.log 2>&1 \
     && mark eval || echo "[queue] eval FAILED rc=$?" | tee -a $LOG/queue.log
 fi
-
-echo "[queue] DONE at $(date)" | tee -a $LOG/queue.log
 
 if ! stamp dtypeprobe; then
   echo "[queue] gather dtype probe (incl int8 headroom)..." | tee -a $LOG/queue.log
