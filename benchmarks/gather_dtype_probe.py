@@ -10,9 +10,12 @@ rows gather at byte rate, the 4.4-5.0 ms width-512 wall halves.
     python benchmarks/gather_dtype_probe.py
 
 Measures chained-scan slope rates (same method as roofline_tpu.py) for
-dtype in {f32, bf16} x width in {48, 512, 1024} elements with the step's
-real mesh-coherent index patterns, plus an RCM-reordered variant of the
-level-0 pattern to test whether more index locality raises the rate.
+dtype in {f32, bf16, int8} x width in {48, 512, 1024} elements with the
+step's real mesh-coherent index patterns, plus an RCM-reordered variant of
+the level-0 pattern to test whether more index locality raises the rate.
+int8 is a HEADROOM measurement only (no int8 activation path is shipped):
+if wide rows gather at byte rate, int8 would halve the dominant wall
+again — the open question is training numerics, not bandwidth.
 """
 
 from __future__ import annotations

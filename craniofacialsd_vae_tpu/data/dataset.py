@@ -241,7 +241,9 @@ def _augment_train_list(root, train_list, template, summary, mode,
 
 def _load_split_arrays(root, names, summary, mean, std, normalize,
                        cache_path):
-    if os.path.exists(cache_path):
+    """cache_path=None loads in memory only (a migrated reference
+    precomputed dir is treated read-only — see build_datasets)."""
+    if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path, allow_pickle=True)
         return MeshArrays(x=z["x"], y=list(z["y"]), age=z["age"],
                           gender=list(z["gender"]),
@@ -263,10 +265,11 @@ def _load_split_arrays(root, names, summary, mean, std, normalize,
         x=np.stack(xs) if xs else np.zeros((0, 0, 3), np.float32),
         y=ys, age=np.asarray(ages, np.float32), gender=genders,
         augmented=np.asarray(augs, bool), names=list(names))
-    np.savez_compressed(cache_path, x=arrays.x, y=np.asarray(arrays.y),
-                        age=arrays.age, gender=np.asarray(arrays.gender),
-                        augmented=arrays.augmented,
-                        names=np.asarray(arrays.names))
+    if cache_path:
+        np.savez_compressed(cache_path, x=arrays.x, y=np.asarray(arrays.y),
+                            age=arrays.age, gender=np.asarray(arrays.gender),
+                            augmented=arrays.augmented,
+                            names=np.asarray(arrays.names))
     return arrays
 
 
@@ -323,11 +326,17 @@ def build_datasets(config: dict, template, seed: int = 0):
     # and treat the .pt as the cache, writing nothing next to it)
     norm_path = os.path.join(precomp, "norm.npz")
     ref_norm_path = os.path.join(precomp, "norm.pt")
+    ref_install = False
     if os.path.exists(norm_path):
         z = np.load(norm_path)
         mean, std = z["mean"], z["std"]
     elif os.path.exists(ref_norm_path):
         mean, std = _import_reference_norm(ref_norm_path)
+        # A migrated reference precomputed dir is read-only: no split npz
+        # caches are written next to the consumed .pt (it may live on a
+        # read-only mount, and our caches must not pollute a reference
+        # installation — same contract as geometry/precompute.py).
+        ref_install = True
     else:
         acc = None
         for i, name in enumerate(train_names):
@@ -342,13 +351,16 @@ def build_datasets(config: dict, template, seed: int = 0):
     normalization = {"mean": mean, "std": std}
 
     normalize = data_cfg.get("normalize_data", True)
+
+    def _cache(fname):
+        return None if ref_install else os.path.join(precomp, fname)
+
     train = _load_split_arrays(root, train_names, summary, mean, std,
-                               normalize,
-                               os.path.join(precomp, "training.npz"))
+                               normalize, _cache("training.npz"))
     test = _load_split_arrays(root, test_names, summary, mean, std,
-                              normalize, os.path.join(precomp, "test.npz"))
+                              normalize, _cache("test.npz"))
     val = _load_split_arrays(root, val_names, summary, mean, std,
-                             normalize, os.path.join(precomp, "val.npz"))
+                             normalize, _cache("val.npz"))
 
     class_weights = compute_class_weights(train_names)
     return train, val, test, normalization, class_weights

@@ -104,11 +104,16 @@ class TestSplits:
         assert train.names == train0.names
         np.testing.assert_array_equal(norm["mean"], mean.numpy())
         np.testing.assert_array_equal(norm["std"], std.numpy())
-        assert not os.path.exists(migrated / "norm.npz")
+        # the migrated dir is read-only: NOTHING of ours lands in it —
+        # no norm.npz and no training/test/val split caches
+        assert sorted(os.listdir(migrated)) == ["data_split.json", "norm.pt"]
         # and the normalization used the imported stats
         np.testing.assert_allclose(
             train.x[0] * norm["std"] + norm["mean"],
             train0.x[0] * norm0["std"] + norm0["mean"], rtol=1e-4, atol=1e-4)
+        # second build re-reads meshes (no stale cache) and matches
+        train2, *_ = build_datasets(cfg, tpl)
+        np.testing.assert_array_equal(train.x, train2.x)
 
     def test_real_reference_norm_pt(self, tmp_path):
         """The ACTUAL reference norm.pt (17,039-vertex stats shipped with
@@ -133,7 +138,7 @@ class TestSplits:
                          map_location="cpu", weights_only=True)
         np.testing.assert_array_equal(
             norm["mean"], ref["mean"].numpy().astype(np.float32))
-        assert not os.path.exists(tmp_path / "norm.npz")
+        assert sorted(os.listdir(tmp_path)) == ["data_split.json", "norm.pt"]
         raw = read_mesh(os.path.join(
             DEMO_FILES, "meshes", train.names[0])).vertices
         np.testing.assert_allclose(train.x[0] * norm["std"] + norm["mean"],

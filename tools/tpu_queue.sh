@@ -13,7 +13,11 @@ mark()  { touch "$LOG/$1.done"; }
 
 echo "[queue] waiting for TPU tunnel..." | tee -a $LOG/queue.log
 while true; do
-  if timeout 80 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+  # require the default platform to BE tpu — a host-CPU fallback passing
+  # this gate would stamp CPU numbers into the canonical chip artifacts
+  if timeout 80 python -c \
+      "import jax; assert jax.devices()[0].platform == 'tpu'" \
+      >/dev/null 2>&1; then
     echo "[queue] tunnel UP at $(date)" | tee -a $LOG/queue.log
     break
   fi
@@ -58,4 +62,12 @@ if ! stamp dtypeprobe; then
   timeout 1200 python benchmarks/gather_dtype_probe.py > $LOG/dtypeprobe.log 2>&1 \
     && mark dtypeprobe || echo "[queue] dtypeprobe FAILED rc=$?" | tee -a $LOG/queue.log
 fi
-echo "[queue] ALL DONE at $(date)" | tee -a $LOG/queue.log
+
+if stamp entry && stamp roofline && stamp bench && stamp train \
+    && stamp eval && stamp dtypeprobe; then
+  echo "[queue] ALL DONE at $(date)" | tee -a $LOG/queue.log
+else
+  echo "[queue] FINISHED WITH FAILURES at $(date) — stamps:" \
+    | tee -a $LOG/queue.log
+  ls $LOG/*.done 2>/dev/null | tee -a $LOG/queue.log
+fi
