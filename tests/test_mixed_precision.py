@@ -106,7 +106,8 @@ class TestMixedPrecision:
         float32 config. Golden fixture generated from the pre-mixed-policy
         code (commit f098a95, tests/fixtures/fp32_forward_golden.npz with
         deterministic geometry rng(11) / params PRNGKey(0) / input
-        rng(77)); any future edit that leaks a rounding into the fp32
+        rng(77); committed to git — regenerate only from a worktree at
+        that commit); any future edit that leaks a rounding into the fp32
         formulation moves the output by ≥bf16 eps (~4e-3) and trips the
         1e-6 tolerance."""
         import os
