@@ -1,0 +1,304 @@
+"""Production serving for trained SD-VAE runs.
+
+The reference has no deployment story — inference means re-running its
+evaluation notebook against the training workspace. This module loads a
+run directory (config snapshot + checkpoint + classifier zoo +
+normalization stats) WITHOUT the training dataset and serves the three
+clinical requests — diagnosis, reconstruction-error screening, latent
+encoding — through TPU-shaped inference programs:
+
+- **Static batch buckets.** Requests are padded to the next bucket size
+  (powers of two up to ``max_batch``) so every request shape hits XLA's
+  compiled-program cache; larger batches stream in ``max_batch`` chunks.
+  No dynamic shapes ever reach the compiler.
+- **One dispatch per request.** Normalize → encode (→ decode →
+  un-normalize → per-vertex mm error) is fused into a single jitted
+  program, so a request costs one host→device transfer and one fetch —
+  the floor on a tunneled chip where each round-trip is ~30 ms.
+- **Host-side heads.** The classifier zoo (QDA posteriors, Mahalanobis
+  distances, LDA projection) runs closed-form on the fetched latents —
+  microseconds of numpy against a [B, Z] array.
+
+``tools/serve.py`` wraps this in a stdlib HTTP server. The service is
+also directly usable as a library::
+
+    svc = DiagnosisService.from_run_dir("outputs/run1")
+    report = svc.diagnose(vertices)          # [B, N, 3] raw scan space
+
+Reference parity notes: diagnosis = encode + QDA over latents
+(reference demo.ipynb cell 11 / model_manager.py:531-546); the
+normalization applied before encode matches data_loading.py:231-252.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+def load_normalization(precomputed_path: str) -> dict:
+    """Per-vertex normalization stats from a precomputed dir — our
+    ``norm.npz`` or a migrated reference ``norm.pt`` — without touching
+    the training dataset (reference data_loading.py:231-252)."""
+    norm_path = os.path.join(precomputed_path, "norm.npz")
+    ref_norm_path = os.path.join(precomputed_path, "norm.pt")
+    if os.path.exists(norm_path):
+        z = np.load(norm_path)
+        return {"mean": z["mean"], "std": z["std"]}
+    if os.path.exists(ref_norm_path):
+        from .data.dataset import _import_reference_norm
+        mean, std = _import_reference_norm(ref_norm_path)
+        return {"mean": mean, "std": std}
+    raise FileNotFoundError(
+        f"no normalization stats ({norm_path} or norm.pt) — the run's "
+        "precomputed dir is required for serving")
+
+
+def classes_from_split(precomputed_path: str) -> dict:
+    """class2idx map re-derived from the run's cached ``data_split.json``
+    — the same first-letter labels (with 'b' ordered last) the training
+    run used, so served indices match the fitted classifier heads."""
+    split_path = os.path.join(precomputed_path, "data_split.json")
+    if not os.path.exists(split_path):
+        raise FileNotFoundError(
+            f"no {split_path} — pass classes= explicitly")
+    with open(split_path) as f:
+        names = json.load(f)["train"]
+    from .data.dataset import compute_class_weights
+    from .utils import class_conversions_and_weights
+    class2idx, _ = class_conversions_and_weights(
+        compute_class_weights(names))
+    return class2idx
+
+
+class DiagnosisService:
+    """Batched inference over a trained manager. Thread-safe: device
+    dispatch is serialized behind one lock (jit programs are shared)."""
+
+    def __init__(self, manager, normalization: dict,
+                 healthy_class: str = "n", max_batch: int = 16):
+        import jax
+        import jax.numpy as jnp
+
+        from .models import decode, encode
+
+        self.manager = manager
+        self.healthy_class = healthy_class
+        self.max_batch = int(max_batch)
+        self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128)
+                        if b <= self.max_batch]
+        if self.buckets[-1] != self.max_batch:
+            self.buckets.append(self.max_batch)
+        self._lock = threading.Lock()
+        self._latency_ms: list = []        # ring buffer, last 512 requests
+        self.n_requests = 0
+        self.n_meshes = 0
+
+        geom, config = manager.geometry, manager.net_config
+        mean = jnp.asarray(normalization["mean"], jnp.float32)
+        std = jnp.asarray(normalization["std"], jnp.float32)
+        to_mm = float(manager.to_mm_const)
+
+        @jax.jit
+        def _encode_raw(params, x):          # raw [B, N, 3] → mu [B, Z]
+            xn = (x - mean) / std
+            mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
+            return mu
+
+        @jax.jit
+        def _reconstruct_raw(params, x):
+            """raw [B, N, 3] → (recon raw [B, N, 3], per-vertex mm error
+            [B, N], mu [B, Z]) in ONE dispatch."""
+            xn = (x - mean) / std
+            mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
+            out = jnp.swapaxes(decode(params, geom, config, mu), 0, 1)
+            recon = out * std + mean
+            err = jnp.sqrt(jnp.sum((recon - x) ** 2, axis=-1)) * to_mm
+            return recon, err, mu
+
+        @jax.jit
+        def _decode_raw(params, z):          # [B, Z] → raw [B, N, 3]
+            out = jnp.swapaxes(decode(params, geom, config, z), 0, 1)
+            return out * std + mean
+
+        self._jit_encode_raw = _encode_raw
+        self._jit_reconstruct_raw = _reconstruct_raw
+        self._jit_decode_raw = _decode_raw
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_run_dir(cls, run_dir: str, classes: dict | None = None,
+                     healthy_class: str = "n", max_batch: int = 16,
+                     warm: bool = False) -> "DiagnosisService":
+        """Build a service from ``outputs/<id>/`` alone: config snapshot,
+        last checkpoint, classifier zoo, and the precomputed dir's
+        normalization stats. The training dataset is NOT needed."""
+        from .manager import ModelManager
+        from .utils import get_config
+
+        config_path = os.path.join(run_dir, "config.yaml")
+        if not os.path.exists(config_path):
+            raise FileNotFoundError(f"no config snapshot at {config_path}")
+        config = get_config(config_path)
+        precomp = config["data"]["precomputed_path"]
+        if classes is None:
+            classes = classes_from_split(precomp)
+        # Size the MLP head from the run's own split cache — the training
+        # dataset dir may be gone in deployment, and the manager's
+        # directory scan would (rightly) fail loudly on it.
+        config.setdefault("classifier", {}).setdefault(
+            "n_classes", len(classes))
+
+        manager = ModelManager(config, precomputed_storage_path=precomp)
+        manager.resume(os.path.join(run_dir, "checkpoints"))
+        if manager.classifiers is None or manager.classifiers.qda is None:
+            raise RuntimeError(
+                f"run at {run_dir} has no fitted classifier zoo — "
+                "diagnosis serving needs the trained heads")
+        manager.set_class_conversions(classes)
+
+        svc = cls(manager, load_normalization(precomp),
+                  healthy_class=healthy_class, max_batch=max_batch)
+        if warm:
+            svc.warmup()
+        return svc
+
+    # ------------------------------------------------------------------
+    def _bucket(self, b: int) -> int:
+        for size in self.buckets:
+            if b <= size:
+                return size
+        return self.max_batch
+
+    def _run_bucketed(self, fn, x: np.ndarray):
+        """Dispatch [B, ...] through fn at bucket-padded static shapes,
+        chunking batches above max_batch; returns outputs trimmed to B."""
+        b = x.shape[0]
+        params = self.manager.state.params
+        outs = []
+        for lo in range(0, b, self.max_batch):
+            chunk = x[lo:lo + self.max_batch]
+            n = chunk.shape[0]
+            size = self._bucket(n)
+            if size != n:        # pad by repeating the first mesh
+                pad = np.broadcast_to(chunk[:1],
+                                      (size - n,) + chunk.shape[1:])
+                chunk = np.concatenate([chunk, pad], axis=0)
+            res = fn(params, chunk)
+            res = res if isinstance(res, tuple) else (res,)
+            outs.append(tuple(np.asarray(r)[:n] for r in res))
+        merged = tuple(np.concatenate(parts, axis=0)
+                       for parts in zip(*outs))
+        return merged if len(merged) > 1 else merged[0]
+
+    def _observe(self, b: int, t0: float):
+        self.n_requests += 1
+        self.n_meshes += b
+        self._latency_ms.append((time.perf_counter() - t0) * 1e3)
+        if len(self._latency_ms) > 512:
+            del self._latency_ms[:256]
+
+    @staticmethod
+    def _as_batch(vertices) -> tuple:
+        x = np.asarray(vertices, np.float32)
+        single = x.ndim == 2
+        return (x[None] if single else x), single
+
+    # ------------------------------------------------------------------
+    def warmup(self):
+        """Compile every bucket for encode + reconstruct up front so the
+        first real request doesn't pay a trace+compile."""
+        n = self.manager.geometry.spirals[0].num_vertices
+        nz = self.manager.model_latent_size
+        with self._lock:
+            for size in self.buckets:
+                x = np.zeros((size, n, 3), np.float32)
+                z = np.zeros((size, nz), np.float32)
+                np.asarray(self._jit_encode_raw(self.manager.state.params,
+                                                x))
+                [np.asarray(r) for r in
+                 self._jit_reconstruct_raw(self.manager.state.params, x)]
+                np.asarray(self._jit_decode_raw(self.manager.state.params,
+                                                z))
+
+    def encode(self, vertices) -> np.ndarray:
+        """Raw scan-space [B, N, 3] (or [N, 3]) → latents [B, Z]."""
+        t0 = time.perf_counter()
+        x, single = self._as_batch(vertices)
+        with self._lock:
+            mu = self._run_bucketed(self._jit_encode_raw, x)
+            self._observe(x.shape[0], t0)
+        return mu[0] if single else mu
+
+    def decode(self, z) -> np.ndarray:
+        """Latents [B, Z] (or [Z]) → raw scan-space vertices."""
+        t0 = time.perf_counter()
+        z = np.asarray(z, np.float32)
+        single = z.ndim == 1
+        z = z[None] if single else z
+        with self._lock:
+            out = self._run_bucketed(self._jit_decode_raw, z)
+            self._observe(z.shape[0], t0)
+        return out[0] if single else out
+
+    def diagnose(self, vertices, model: str = "qda") -> list:
+        """Raw scans → per-mesh diagnosis reports: predicted label, QDA
+        class posteriors, and Mahalanobis distance to the healthy-class
+        Gaussian (the planning/assessment metric). `model` picks the
+        predicting head (qda/lda/svm/mlp), posteriors are always QDA
+        (the only probabilistic head — reference mm.py:516-546)."""
+        mgr = self.manager
+        x, single = self._as_batch(vertices)
+        mu = self.encode(x)
+        labels = mgr.idx2class(mgr.classifiers.predict(mu, model=model))
+        log_post = mgr.classifiers.qda.log_posteriors(mu)
+        post = np.exp(log_post - log_post.max(axis=1, keepdims=True))
+        post = post / post.sum(axis=1, keepdims=True)
+        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
+        healthy_idx = mgr.class2idx(self.healthy_class) \
+            if self.healthy_class in mgr._class2idx_dict else None
+        reports = []
+        for i in range(mu.shape[0]):
+            rep = {
+                "label": labels[i],
+                "posteriors": {idx2class[j]: float(post[i, j])
+                               for j in range(post.shape[1])},
+                "latent": mu[i].tolist(),
+            }
+            if healthy_idx is not None:
+                rep["mahalanobis_to_healthy"] = float(
+                    mgr.classifiers.mahalanobis(mu[i], healthy_idx))
+            reports.append(rep)
+        return reports[0] if single else reports
+
+    def reconstruct(self, vertices) -> dict:
+        """Raw scans → reconstructions + per-vertex/mean error in mm —
+        the screening metric (reference test.py:280-301 semantics)."""
+        t0 = time.perf_counter()
+        x, single = self._as_batch(vertices)
+        with self._lock:
+            recon, err, mu = self._run_bucketed(
+                self._jit_reconstruct_raw, x)
+            self._observe(x.shape[0], t0)
+        out = {"vertices": recon, "vertex_errors_mm": err,
+               "mean_error_mm": err.mean(axis=1), "latent": mu}
+        if single:
+            out = {k: v[0] for k, v in out.items()}
+        return out
+
+    def stats(self) -> dict:
+        lat = sorted(self._latency_ms)
+        import jax
+        return {
+            "requests": self.n_requests,
+            "meshes": self.n_meshes,
+            "p50_ms": lat[len(lat) // 2] if lat else None,
+            "p95_ms": lat[int(len(lat) * 0.95)] if lat else None,
+            "buckets": self.buckets,
+            "platform": jax.devices()[0].platform,
+            "classes": dict(self.manager._class2idx_dict),
+        }

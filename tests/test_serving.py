@@ -1,0 +1,278 @@
+"""Serving layer: DiagnosisService loads a run dir without the training
+dataset and answers encode/decode/diagnose/reconstruct through bucketed
+static-shape jits; tools/serve.py wraps it in an HTTP server.
+
+The reference has no deployment path (inference = re-running its eval
+notebook in the training workspace); this subsystem is new surface, so
+the oracle is internal consistency with the training-side manager —
+service.encode(raw) must equal models.encode over the same normalized
+batch, and diagnosis must equal the manager's classify_latent.
+"""
+
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def served_run(tmp_path_factory):
+    """A tiny trained run dir: config snapshot + checkpoint + classifier
+    zoo + precomputed norm/split caches — everything from_run_dir needs,
+    nothing else (the mesh dir stays around only to build it)."""
+    from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
+                                                     build_datasets)
+    from craniofacialsd_vae_tpu.geometry import write_obj, write_ply
+    from craniofacialsd_vae_tpu.geometry.synthetic import synthetic_template
+    from craniofacialsd_vae_tpu.manager import ModelManager
+
+    root = tmp_path_factory.mktemp("serve_ws")
+    tpl = synthetic_template(subdivisions=2, n_regions=3)
+    tpl_path = str(root / "template.ply")
+    write_ply(tpl_path, tpl.pos, tpl.face, tpl.colors)
+
+    mesh_dir = root / "meshes"
+    mesh_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for c in ["a", "c", "n"]:
+        for i in range(8):
+            verts = tpl.pos + rng.normal(scale=0.03, size=tpl.pos.shape) \
+                + (0.05 if c == "a" else -0.05 if c == "c" else 0.0)
+            write_obj(str(mesh_dir / f"{c}_{i}.obj"), verts, tpl.face)
+
+    config = {
+        "data": {
+            "template_path": tpl_path,
+            "dataset_path": str(mesh_dir),
+            "precomputed_path": str(root / "precomp"),
+            "normalize_data": True,
+            "to_mm_constant": 10.0,
+            "swap_features": True,
+            "stratified_split": True,
+            "augmentation_factor": 0,
+        },
+        "optimization": {
+            "epochs": 1, "batch_size": 2, "lr": 1e-3, "weight_decay": 0,
+            "laplacian_weight": 0.1, "kl_weight": 1e-4,
+            "latent_consistency_weight": 0.5,
+            "latent_consistency_eta1": 0.5, "latent_consistency_eta2": 0.5,
+        },
+        "model": {
+            "sampling": {"type": "basic", "sampling_factors": [2, 2]},
+            "spirals": {"length": [5, 5], "dilation": [1, 1]},
+            "in_channels": 3, "out_channels": [8, 16],
+            "latent_size": 6, "pre_z_sigmoid": False,
+        },
+        "classifier": {
+            "main_model_type": "qda", "mlp_training_type": "after",
+            "mlp_hidden_features": [8], "mlp_lr": 1e-3, "mlp_epochs": 2,
+        },
+        "logging_frequency": {"tb_renderings": 100, "save_weights": 1},
+    }
+
+    manager = ModelManager(
+        config, precomputed_storage_path=config["data"]["precomputed_path"])
+    train, val, test, norm, weights = build_datasets(config,
+                                                     manager.template)
+    manager.set_class_conversions_and_weights(weights)
+    it = BatchIterator(train, 2, shuffle=True)
+    val_it = BatchIterator(val, 2, shuffle=False, drop_last=False)
+    manager.run_epoch(it, train=True)
+
+    run_dir = root / "outputs" / "served"
+    ckpt_dir = run_dir / "checkpoints"
+    os.makedirs(ckpt_dir)
+    manager.save_weights(str(ckpt_dir), epoch=0)
+    manager.train_and_validate_classifiers(
+        BatchIterator(train, 2, shuffle=False), val_it,
+        checkpoint_dir=str(ckpt_dir))
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    # raw scan-space vertices to serve (denormalized val meshes)
+    raw = np.asarray(train.x[:5]) * norm["std"] + norm["mean"]
+    return {"run_dir": str(run_dir), "manager": manager, "norm": norm,
+            "raw": raw.astype(np.float32), "config": config}
+
+
+@pytest.fixture(scope="module")
+def service(served_run):
+    from craniofacialsd_vae_tpu.serving import DiagnosisService
+    return DiagnosisService.from_run_dir(served_run["run_dir"],
+                                         max_batch=4)
+
+
+def test_encode_matches_manager(served_run, service):
+    """service.encode(raw) == models.encode over the manager-normalized
+    batch — the serving path adds normalization + bucketing, nothing
+    numeric."""
+    mgr, norm = served_run["manager"], served_run["norm"]
+    raw = served_run["raw"]
+    mu = service.encode(raw)
+    xn = (raw - norm["mean"]) / norm["std"]
+    mu_ref = np.asarray(mgr.encode(xn))
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bucketing_pads_and_trims(served_run, service):
+    """Every batch size dispatches at a bucket shape and returns exactly
+    B rows; >max_batch streams in chunks; results are independent of the
+    batch split."""
+    raw = served_run["raw"]
+    assert service.buckets == [1, 2, 4]
+    full = service.encode(raw)               # B=5 > max_batch=4 → 4 + 1
+    assert full.shape[0] == 5
+    for b in (1, 2, 3):
+        part = service.encode(raw[:b])
+        assert part.shape[0] == b
+        np.testing.assert_allclose(part, full[:b], rtol=1e-5, atol=1e-6)
+    # single-mesh convenience: [N, 3] in → [Z] out
+    one = service.encode(raw[0])
+    assert one.ndim == 1
+    np.testing.assert_allclose(one, full[0], rtol=1e-5, atol=1e-6)
+
+
+def test_decode_roundtrip(served_run, service):
+    raw = served_run["raw"]
+    mu = service.encode(raw[:2])
+    out = service.decode(mu)
+    assert out.shape == raw[:2].shape
+    # decode(encode(x)) lands in raw scan space: same scale as the input
+    assert np.abs(out).max() < 10 * np.abs(raw).max() + 1
+
+
+def test_diagnose_reports(served_run, service):
+    mgr = served_run["manager"]
+    raw = served_run["raw"]
+    reports = service.diagnose(raw[:3])
+    assert len(reports) == 3
+    classes = set(mgr._class2idx_dict)
+    mu = service.encode(raw[:3])
+    ref_labels = mgr.classify_latent(mu, "qda")
+    for i, rep in enumerate(reports):
+        assert rep["label"] in classes
+        assert rep["label"] == ref_labels[i]
+        post = rep["posteriors"]
+        assert set(post) == classes
+        assert abs(sum(post.values()) - 1.0) < 1e-6
+        assert rep["mahalanobis_to_healthy"] >= 0
+        assert len(rep["latent"]) == mu.shape[1]
+    single = service.diagnose(raw[0])
+    assert single["label"] in classes
+
+
+def test_reconstruct_errors_in_mm(served_run, service):
+    raw = served_run["raw"]
+    out = service.reconstruct(raw[:2])
+    assert out["vertices"].shape == raw[:2].shape
+    assert out["vertex_errors_mm"].shape == raw[:2].shape[:2]
+    to_mm = served_run["config"]["data"]["to_mm_constant"]
+    manual = np.sqrt(((out["vertices"] - raw[:2]) ** 2).sum(-1)) * to_mm
+    np.testing.assert_allclose(out["vertex_errors_mm"], manual,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out["mean_error_mm"], manual.mean(1),
+                               rtol=1e-5)
+    stats = service.stats()
+    assert stats["requests"] >= 1 and stats["p50_ms"] is not None
+
+
+def test_from_run_dir_without_dataset(served_run, tmp_path):
+    """The service must come up from run dir + precomputed dir alone —
+    the training mesh dir may be gone in deployment."""
+    from craniofacialsd_vae_tpu.serving import DiagnosisService
+
+    cfg = dict(served_run["config"])
+    cfg["data"] = dict(cfg["data"],
+                       dataset_path=str(tmp_path / "gone"))
+    run2 = tmp_path / "run2"
+    os.makedirs(run2)
+    os.symlink(os.path.join(served_run["run_dir"], "checkpoints"),
+               run2 / "checkpoints")
+    with open(run2 / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    svc = DiagnosisService.from_run_dir(str(run2), max_batch=2)
+    mu = svc.encode(served_run["raw"][:2])
+    assert mu.shape[0] == 2
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from http.server import ThreadingHTTPServer
+
+        from serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+        srv.server_close()
+
+    def _post(self, url, payload, ctype="application/json"):
+        data = payload if isinstance(payload, bytes) else \
+            json.dumps(payload).encode()
+        req = urllib.request.Request(url, data=data,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz") as resp:
+            out = json.loads(resp.read())
+        assert out["ok"] and out["buckets"] == [1, 2, 4]
+
+    def test_encode_json(self, served_run, service, server):
+        raw = served_run["raw"][:2]
+        out = self._post(server + "/encode", {"vertices": raw.tolist()})
+        np.testing.assert_allclose(np.asarray(out["latent"]),
+                                   service.encode(raw), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_encode_npy_body(self, served_run, service, server):
+        raw = served_run["raw"][:2]
+        buf = io.BytesIO()
+        np.save(buf, raw)
+        out = self._post(server + "/encode", buf.getvalue(),
+                         ctype="application/octet-stream")
+        np.testing.assert_allclose(np.asarray(out["latent"]),
+                                   service.encode(raw), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_diagnose_and_decode(self, served_run, server):
+        raw = served_run["raw"][:1]
+        out = self._post(server + "/diagnose", {"vertices": raw.tolist()})
+        rep = out["reports"][0]
+        assert "label" in rep and "posteriors" in rep
+        dec = self._post(server + "/decode", {"latent": [rep["latent"]]})
+        assert np.asarray(dec["vertices"]).shape == raw.shape
+
+    def test_error_surfaces_as_400(self, server):
+        req = urllib.request.Request(server + "/encode",
+                                     data=b'{"vertices": "nope"}',
+                                     headers={"Content-Type":
+                                              "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+        assert raised
+
+    def test_unknown_path_404(self, server):
+        try:
+            urllib.request.urlopen(server + "/nope")
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 404
+        assert raised

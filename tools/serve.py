@@ -1,0 +1,149 @@
+"""HTTP serving for a trained run — the deployment entry point.
+
+    python tools/serve.py --id=run1 [--output_path=.] [--port 8008]
+                          [--max_batch 16] [--platform cpu] [--no_warmup]
+
+Endpoints (JSON in/out; vertices may also be posted as a raw .npy body
+with Content-Type: application/octet-stream):
+
+    GET  /healthz       → {"ok": true, ...service stats}
+    POST /encode        {"vertices": [[x,y,z]...] | [[[x,y,z]...]...]}
+                        → {"latent": [[...]...]}
+    POST /diagnose      same body (+ optional "model": qda|lda|svm|mlp)
+                        → per-mesh {label, posteriors, mahalanobis, latent}
+    POST /reconstruct   same body → {vertices, vertex_errors_mm,
+                        mean_error_mm, latent}
+    POST /decode        {"latent": [[...]...]} → {"vertices": ...}
+
+The service pads every request to a static batch bucket so XLA programs
+are compiled once per bucket (at startup, unless --no_warmup) and reused
+for every request — see craniofacialsd_vae_tpu/serving.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _json_default(o):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.floating, np.integer)):
+        return o.item()
+    raise TypeError(f"not serializable: {type(o)}")
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; stats via /healthz
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload, default=_json_default).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type", "application/json")
+            if ctype.startswith("application/octet-stream"):
+                arr = np.load(io.BytesIO(raw), allow_pickle=False)
+                return {"vertices": arr}
+            return json.loads(raw or b"{}")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                stats = service.stats()
+                stats["ok"] = True
+                self._reply(200, stats)
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                body = self._read_body()
+                if self.path == "/encode":
+                    mu = service.encode(np.asarray(body["vertices"],
+                                                   np.float32))
+                    self._reply(200, {"latent": mu})
+                elif self.path == "/diagnose":
+                    reports = service.diagnose(
+                        np.asarray(body["vertices"], np.float32),
+                        model=body.get("model", "qda")
+                        if isinstance(body, dict) else "qda")
+                    self._reply(200, {"reports": reports})
+                elif self.path == "/reconstruct":
+                    out = service.reconstruct(
+                        np.asarray(body["vertices"], np.float32))
+                    self._reply(200, out)
+                elif self.path == "/decode":
+                    out = service.decode(np.asarray(body["latent"],
+                                                    np.float32))
+                    self._reply(200, {"vertices": out})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except Exception as e:  # surface errors to the client
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--id", type=str, default=None)
+    parser.add_argument("--output_path", type=str, default=".")
+    parser.add_argument("--run_dir", type=str, default=None,
+                        help="explicit run dir (overrides --id)")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8008)
+    parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument("--healthy_class", type=str, default="n")
+    parser.add_argument("--no_warmup", action="store_true")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu); the axon "
+                             "TPU plugin ignores JAX_PLATFORMS")
+    args = parser.parse_args(argv)
+
+    run_dir = args.run_dir or os.path.join(args.output_path, "outputs",
+                                           args.id or "")
+    if not args.run_dir and not args.id:
+        parser.error("--id or --run_dir required")
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    setup_jax(platform=args.platform)
+    from craniofacialsd_vae_tpu.serving import DiagnosisService
+
+    service = DiagnosisService.from_run_dir(
+        run_dir, healthy_class=args.healthy_class,
+        max_batch=args.max_batch, warm=not args.no_warmup)
+
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service))
+    import jax
+    print(f"serving {run_dir} on http://{args.host}:{server.server_port} "
+          f"({jax.devices()[0].platform}, buckets {service.buckets})",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()
