@@ -17,6 +17,74 @@ import numpy as np
 # contention factor is read against
 MATMUL_QUIET_MS = 2.1
 
+# HBM stream sweep (s * c over a 128 MiB fp32 array: 256 MiB read+write
+# per iteration). SEEDED from the v5e spec (819 GB/s peak × ~80%
+# achievable on pure elementwise sweeps ≈ 655 GB/s → 0.41 ms/iter) — not
+# yet confirmed by a quiet-chip measurement, so scripts must treat a
+# stream factor as a CONTENTION DETECTOR (retry/record), not as a
+# headline-correction denominator, until tools/canary_floor.py observes a
+# real quiet floor. The step's gathers stream activation tables from HBM
+# under exactly this regime, which the small cache-resident canaries
+# cannot see (observed: step 3.5× slow while the 48-float gather canary
+# read 1.04×).
+STREAM_QUIET_MS = 0.41
+
+
+def make_stream_canary(rng: np.random.Generator):
+    """Return `stream_ms()`: wall ms per iteration of a 64-step scanned
+    elementwise multiply over a [8192, 4096] fp32 array — 256 MiB of HBM
+    traffic per iteration, far beyond VMEM, so this tracks the chip's
+    *streaming* bandwidth under contention (the regime the train step's
+    HBM-resident gathers and Adam passes live in)."""
+    import jax
+    import jax.numpy as jnp
+
+    s0 = jnp.asarray(rng.normal(size=(8192, 4096)).astype(np.float32))
+
+    def body(s, _):
+        return s * 1.0000001, ()
+
+    sc = jax.jit(lambda s: jax.lax.scan(body, s, None, length=64)[0])
+
+    def stream_ms():
+        float(sc(s0)[0, 0])
+        t0 = time.perf_counter()
+        float(sc(s0)[0, 0])
+        return (time.perf_counter() - t0) / 64 * 1e3
+
+    return stream_ms
+
+
+# isolated ELL-style gather-sum over a [17039, 48] table, quiet v5e
+GATHER_QUIET_MS = 1.4
+
+
+def make_ell_gather_canary(rng: np.random.Generator, n_rows: int = 17039):
+    """Return `gather_ms()`: mean wall ms of thirty 16-way gather-sums
+    over an [n_rows, 48] fp32 table (the step's thin-row ELL shape).
+    NB the table is small enough to stay cache-resident, so this canary
+    tracks gather-unit health but NOT HBM streaming contention — pair it
+    with make_stream_canary for that."""
+    import jax
+    import jax.numpy as jnp
+
+    gidx = jnp.asarray(rng.integers(0, n_rows,
+                                    size=(n_rows * 16,)).astype(np.int32))
+    gx = jnp.asarray(rng.normal(size=(n_rows, 48)).astype(np.float32))
+    gf = jax.jit(lambda x: jnp.take(x, gidx, axis=0)
+                 .reshape(n_rows, 16, 48).sum(axis=1))
+
+    def gather_ms():
+        r = gf(gx)
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(30):
+            r = gf(gx)
+        float(r[0, 0])
+        return (time.perf_counter() - t0) / 30 * 1e3
+
+    return gather_ms
+
 
 def make_matmul_canary(rng: np.random.Generator):
     """Return `matmul_ms()`: mean wall ms of ten 4096³ fp32 matmuls

@@ -62,6 +62,13 @@ def main():
         48: (lap_idx, N0),
         512: (lvl0_idx, N0),
         1024: (lvl3_idx, n3),
+        # grid-64 row classes (B=64): C=32 levels pack 64*32=2048 elements,
+        # the deepest C=64 level 4096. Whether bf16 reaches full byte
+        # bandwidth here decides if batch 8 amortizes under the mixed
+        # policy (fp32 rows were already at byte rate at 512 elements, so
+        # round-2's "grid 64 is linear" conclusion doesn't transfer).
+        2048: (lvl0_idx, N0),
+        4096: (lvl3_idx, n3),
     }
     # int8 is a HEADROOM measurement only (no int8 activation path is
     # shipped): if 512-element rows gather at byte rate, int8 would halve

@@ -1,0 +1,111 @@
+"""Long-running canary-floor sampler: hunt for a genuinely quiet chip
+window and record the minimum observed canary times.
+
+    python tools/canary_floor.py [--hours 3] [--interval 120]
+                                 [--out benchmarks/canary_floor.json]
+
+The shared tunneled v5e has minutes-long (sometimes session-long)
+noisy-neighbor episodes. bench.py's contention correction needs QUIET
+denominators for its canaries; the matmul (2.1 ms) and thin-row gather
+(1.4 ms) floors were measured in genuinely quiet round-1/2 windows, but
+the HBM *stream* canary (benchmarks/_common.make_stream_canary) was added
+during a contended stretch and its denominator is a spec-derived seed
+(STREAM_QUIET_MS). This tool samples all three canaries every --interval
+seconds for --hours, keeping the running minimum per canary — over a long
+enough window the minimum converges on the true quiet floor. Output JSON:
+
+    {"matmul_ms": ..., "gather_ms": ..., "stream_ms": ...,
+     "n_samples": ..., "quietest_sample_utc": ..., "span_hours": ...}
+
+Once stream_ms here is credibly quiet (several samples near the minimum,
+matmul concurrently at its known 2.1 ms floor), promote it into
+benchmarks/_common.STREAM_QUIET_MS with this file as provenance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hours", type=float, default=3.0)
+    parser.add_argument("--interval", type=float, default=120.0)
+    parser.add_argument("--out", type=str,
+                        default=os.path.join(REPO, "benchmarks",
+                                             "canary_floor.json"))
+    args = parser.parse_args(argv)
+
+    from craniofacialsd_vae_tpu.utils.runtime import setup_jax
+    jax = setup_jax()
+    if jax.devices()[0].platform != "tpu":
+        raise SystemExit("canary_floor: default platform is not TPU — "
+                         "refusing to record host-CPU floors")
+    import numpy as np
+
+    from benchmarks._common import (GATHER_QUIET_MS, MATMUL_QUIET_MS,
+                                    STREAM_QUIET_MS, make_ell_gather_canary,
+                                    make_matmul_canary, make_stream_canary)
+
+    rng = np.random.default_rng(0)
+    canaries = {"matmul_ms": make_matmul_canary(rng),
+                "gather_ms": make_ell_gather_canary(rng),
+                "stream_ms": make_stream_canary(rng)}
+    seeds = {"matmul_ms": MATMUL_QUIET_MS, "gather_ms": GATHER_QUIET_MS,
+             "stream_ms": STREAM_QUIET_MS}
+
+    floors = dict.fromkeys(canaries, float("inf"))
+    quietest_at = None
+    n = 0
+    t_end = time.time() + args.hours * 3600
+    # resume from a previous sampling session's floors if present
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        for k in floors:
+            if isinstance(prev.get(k), (int, float)):
+                floors[k] = prev[k]
+        n = int(prev.get("n_samples", 0))
+        quietest_at = prev.get("quietest_sample_utc")
+
+    while time.time() < t_end:
+        sample = {}
+        try:
+            for k, fn in canaries.items():
+                sample[k] = fn()
+        except Exception as e:  # tunnel dropped mid-sample — wait it out
+            print(f"[floor] sample failed ({type(e).__name__}: {e}); "
+                  "retrying next interval", flush=True)
+            time.sleep(args.interval)
+            continue
+        n += 1
+        improved = [k for k in sample if sample[k] < floors[k]]
+        for k in improved:
+            floors[k] = sample[k]
+        if "stream_ms" in improved or "matmul_ms" in improved:
+            quietest_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        line = "  ".join(f"{k} {sample[k]:.3f} (floor {floors[k]:.3f}, "
+                         f"seed {seeds[k]})" for k in sample)
+        print(f"[floor] #{n} {line}"
+              + (f"  ← new floor: {','.join(improved)}" if improved else ""),
+              flush=True)
+        with open(args.out, "w") as f:
+            json.dump({**{k: round(v, 4) for k, v in floors.items()},
+                       "n_samples": n,
+                       "quietest_sample_utc": quietest_at,
+                       "span_hours": args.hours}, f, indent=1)
+        time.sleep(args.interval)
+
+    print(f"[floor] done: {n} samples, floors "
+          + ", ".join(f"{k}={floors[k]:.3f}" for k in floors), flush=True)
+
+
+if __name__ == "__main__":
+    main()
