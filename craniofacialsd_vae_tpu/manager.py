@@ -520,6 +520,8 @@ class ModelManager:
             mlp_weight_decay=float(
                 self._optimization_params.get("weight_decay", 0.0)),
             mlp_batch=self.batch_size,
+            mlp_restarts=int((self._classifier_params or {}).get(
+                "mlp_restarts", 4)),
         )
         return self.classifiers
 

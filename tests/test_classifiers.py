@@ -163,6 +163,34 @@ class TestMLP:
         # blobs; chance is 0.25
         assert mlp.score(x, y) > 0.6
 
+    def test_restarts_pick_best_seed(self, blobs):
+        """fit_all's best-of-N restart selection must never do worse than
+        any individual seed's fit (measured motivation: on the 76-sample
+        flagship latents, seed 0 lands a 0.50-accuracy basin while seeds
+        1-3 reach 1.0 — init brittleness inherent to the trailing-ReLU
+        head, which the reference cannot even control for)."""
+        from craniofacialsd_vae_tpu.analysis import (LatentClassifiers,
+                                                     MLPTrainer)
+
+        x, y = blobs
+        per_seed = []
+        for seed in range(3):
+            m = MLPTrainer(latent_size=4, hidden=[16], n_classes=4,
+                           lr=1e-2, epochs=40, seed=seed)
+            m.fit(x, y)
+            per_seed.append(m.score(x, y))
+        zoo = LatentClassifiers(latent_size=4, mlp_hidden=[16],
+                                mlp_lr=1e-2, mlp_epochs=40, mlp_restarts=3)
+        accs = zoo.fit_all(x, y, x, y)
+        assert accs["mlp"] >= max(per_seed) - 1e-9
+        # deterministic: a second fit with the same restarts picks the
+        # same head
+        zoo2 = LatentClassifiers(latent_size=4, mlp_hidden=[16],
+                                 mlp_lr=1e-2, mlp_epochs=40, mlp_restarts=3)
+        accs2 = zoo2.fit_all(x, y, x, y)
+        assert accs2["mlp"] == accs["mlp"]
+        np.testing.assert_array_equal(zoo.mlp.predict(x), zoo2.mlp.predict(x))
+
 
 class TestPersistence:
     def test_save_load_roundtrip(self, blobs, tmp_path):
