@@ -524,7 +524,7 @@ class MLPTrainer:
         self.batch_size = batch_size
 
     def fit(self, x, y, x_val=None, y_val=None, class_weights=None,
-            writer=None):
+            writer=None, tag_suffix=""):
         import optax
 
         from ..models.mlp import mlp_apply
@@ -588,15 +588,15 @@ class MLPTrainer:
             if writer is not None:
                 # reference cadence: epoch means over batches, both phases
                 # (mm.py:455-467)
-                writer.add_scalar("train/class_loss",
+                writer.add_scalar(f"train/class_loss{tag_suffix}",
                                   float(loss_sum) / n_batches, epoch + 1)
-                writer.add_scalar("train/class_acc",
+                writer.add_scalar(f"train/class_acc{tag_suffix}",
                                   float(acc_sum) / n_batches, epoch + 1)
                 if xv is not None:
                     v_loss, v_acc = eval_metrics(self.params, xv, yv)
-                    writer.add_scalar("validation/class_loss",
+                    writer.add_scalar(f"validation/class_loss{tag_suffix}",
                                       float(v_loss), epoch + 1)
-                    writer.add_scalar("validation/class_acc",
+                    writer.add_scalar(f"validation/class_acc{tag_suffix}",
                                       float(v_acc), epoch + 1)
         return self
 
@@ -655,18 +655,25 @@ class LatentClassifiers:
             self.mlp.params = mlp_init
         else:
             # best-of-N restarts by validation accuracy (ties → lowest
-            # seed, deterministic); early-exit at a perfect val score
+            # seed, deterministic); early-exit at a perfect val score.
+            # Every restart logs under its own seed-suffixed tag (a single
+            # unsuffixed curve could describe a discarded head); the
+            # winning seed lands in classifier/selected_seed.
+            restarts = max(1, int(self.mlp_restarts))
             best = None
-            for seed in range(max(1, int(self.mlp_restarts))):
+            for seed in range(restarts):
                 cand = make_mlp(seed)
                 cand.fit(z, y, z_val, y_val, class_weights=class_weights,
-                         writer=writer if seed == 0 else None)
+                         writer=writer,
+                         tag_suffix=f"_seed{seed}" if restarts > 1 else "")
                 v = cand.score(z_val, y_val)
                 if best is None or v > best[0]:
-                    best = (v, cand)
+                    best = (v, cand, seed)
                 if v >= 1.0:
                     break
             self.mlp = best[1]
+            if writer is not None and restarts > 1:
+                writer.add_scalar("classifier/selected_seed", best[2], 0)
         accs["mlp"] = self.mlp.score(z_val, y_val)
 
         self.svm = LinearSVM().fit(z, y)

@@ -149,9 +149,13 @@ class DiagnosisService:
             classes = classes_from_split(precomp)
         # Size the MLP head from the run's own split cache — the training
         # dataset dir may be gone in deployment, and the manager's
-        # directory scan would (rightly) fail loudly on it.
-        config.setdefault("classifier", {}).setdefault(
-            "n_classes", len(classes))
+        # directory scan would (rightly) fail loudly on it. Only when the
+        # run actually configured classifier heads: injecting a classifier
+        # section into a head-less run would send the manager down the
+        # mlp_hidden_features path and crash with a KeyError instead of
+        # the clear no-zoo error below.
+        if config.get("classifier"):
+            config["classifier"].setdefault("n_classes", len(classes))
 
         manager = ModelManager(config, precomputed_storage_path=precomp)
         manager.resume(os.path.join(run_dir, "checkpoints"))
@@ -202,11 +206,22 @@ class DiagnosisService:
         if len(self._latency_ms) > 512:
             del self._latency_ms[:256]
 
-    @staticmethod
-    def _as_batch(vertices) -> tuple:
+    def _as_batch(self, vertices) -> tuple:
+        """[N, 3] or [B, N, 3] → ([B, N, 3], was_single). Validates the
+        vertex count against the template: a wrong-N input must be a
+        clear client error, not a broadcast against the normalization
+        stats that returns confident garbage."""
         x = np.asarray(vertices, np.float32)
         single = x.ndim == 2
-        return (x[None] if single else x), single
+        x = x[None] if single else x
+        n = self.manager.geometry.spirals[0].num_vertices
+        if x.ndim != 3 or x.shape[1] != n or x.shape[2] != 3:
+            raise ValueError(
+                f"vertices must be [N, 3] or [B, N, 3] with N={n} "
+                f"(the run's template vertex count); got {x.shape}")
+        if x.shape[0] == 0:
+            raise ValueError("empty batch (B=0)")
+        return x, single
 
     # ------------------------------------------------------------------
     def warmup(self):
@@ -240,6 +255,12 @@ class DiagnosisService:
         z = np.asarray(z, np.float32)
         single = z.ndim == 1
         z = z[None] if single else z
+        nz = self.manager.model_latent_size
+        if z.ndim != 2 or z.shape[1] != nz:
+            raise ValueError(f"latent must be [Z] or [B, Z] with Z={nz}; "
+                             f"got {z.shape}")
+        if z.shape[0] == 0:
+            raise ValueError("empty batch (B=0)")
         with self._lock:
             out = self._run_bucketed(self._jit_decode_raw, z)
             self._observe(z.shape[0], t0)
@@ -254,19 +275,27 @@ class DiagnosisService:
         mgr = self.manager
         x, single = self._as_batch(vertices)
         mu = self.encode(x)
-        labels = mgr.idx2class(mgr.classifiers.predict(mu, model=model))
-        log_post = mgr.classifiers.qda.log_posteriors(mu)
+        # the heads under the same lock as the jits: LDA/QDA/SVM are
+        # closed-form numpy, but the MLP head dispatches device work —
+        # the class promises serialized device dispatch
+        with self._lock:
+            labels = mgr.idx2class(mgr.classifiers.predict(mu, model=model))
+            log_post = mgr.classifiers.qda.log_posteriors(mu)
         post = np.exp(log_post - log_post.max(axis=1, keepdims=True))
         post = post / post.sum(axis=1, keepdims=True)
         idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
+        # QDA only fits classes that actually occur in the training
+        # labels (e.g. 'b' merges into 'n' upstream), so posterior column
+        # j belongs to qda.classes[j], NOT to class index j
+        qda_classes = [int(c) for c in mgr.classifiers.qda.classes]
         healthy_idx = mgr.class2idx(self.healthy_class) \
             if self.healthy_class in mgr._class2idx_dict else None
         reports = []
         for i in range(mu.shape[0]):
             rep = {
                 "label": labels[i],
-                "posteriors": {idx2class[j]: float(post[i, j])
-                               for j in range(post.shape[1])},
+                "posteriors": {idx2class[c]: float(post[i, j])
+                               for j, c in enumerate(qda_classes)},
                 "latent": mu[i].tolist(),
             }
             if healthy_idx is not None:

@@ -181,6 +181,33 @@ def test_reconstruct_errors_in_mm(served_run, service):
     assert stats["requests"] >= 1 and stats["p50_ms"] is not None
 
 
+def test_input_validation(served_run, service):
+    """Wrong vertex counts and empty batches must be clear client errors,
+    not broadcasts against the normalization stats (a [1, 3] input would
+    otherwise silently broadcast to [N, 3] and return confident garbage)."""
+    raw = served_run["raw"]
+    with pytest.raises(ValueError, match="template vertex count"):
+        service.encode(np.zeros((1, 3), np.float32))
+    with pytest.raises(ValueError, match="template vertex count"):
+        service.diagnose(np.zeros((2, 10, 3), np.float32))
+    with pytest.raises(ValueError, match="empty batch"):
+        service.encode(raw[:0])
+    with pytest.raises(ValueError, match="latent must be"):
+        service.decode(np.zeros((1, 3), np.float32))
+    with pytest.raises(ValueError, match="empty batch"):
+        service.decode(np.zeros((0, 6), np.float32))
+
+
+def test_posteriors_label_by_fitted_classes(served_run, service):
+    """QDA posterior columns must be labeled through qda.classes, not by
+    position: with a class map containing a class absent from training
+    (e.g. 'b' merged into 'n'), positional labeling shifts every column."""
+    mgr = served_run["manager"]
+    rep = service.diagnose(served_run["raw"][0])
+    fitted = {mgr.idx2class(int(c)) for c in mgr.classifiers.qda.classes}
+    assert set(rep["posteriors"]) == fitted
+
+
 def test_from_run_dir_without_dataset(served_run, tmp_path):
     """The service must come up from run dir + precomputed dir alone —
     the training mesh dir may be gone in deployment."""

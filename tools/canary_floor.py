@@ -14,12 +14,15 @@ during a contended stretch and its denominator is a spec-derived seed
 seconds for --hours, keeping the running minimum per canary — over a long
 enough window the minimum converges on the true quiet floor. Output JSON:
 
-    {"matmul_ms": ..., "gather_ms": ..., "stream_ms": ...,
-     "n_samples": ..., "quietest_sample_utc": ..., "span_hours": ...}
+    {"matmul_ms": ..., "gather_ms": ..., "stream_ms": ...,   # minima
+     "best_stream_sample": {matmul_ms, gather_ms, stream_ms, utc},
+     "n_samples": ..., "sampled_hours": ...}   # accumulated over resumes
 
-Once stream_ms here is credibly quiet (several samples near the minimum,
-matmul concurrently at its known 2.1 ms floor), promote it into
-benchmarks/_common.STREAM_QUIET_MS with this file as provenance.
+best_stream_sample is the full concurrent sample at the lowest stream_ms
+seen, so "stream floor measured while matmul sat at its known 2.1 ms
+floor" is checkable from the file. bench.py uses the recorded stream_ms
+floor as its quiet-window gate denominator; promote it into
+benchmarks/_common.STREAM_QUIET_MS only with that concurrency evidence.
 """
 
 from __future__ import annotations
@@ -62,9 +65,14 @@ def main(argv=None):
              "stream_ms": STREAM_QUIET_MS}
 
     floors = dict.fromkeys(canaries, float("inf"))
-    quietest_at = None
+    best_stream_sample = None   # the FULL sample at the lowest stream_ms:
+    # the promotion criterion ("stream floor concurrent with the known
+    # matmul floor") must be verifiable from the file, and independent
+    # per-canary minima can come from different samples
     n = 0
-    t_end = time.time() + args.hours * 3600
+    sampled_s = 0.0             # accumulated across resumed sessions
+    t_start = time.time()
+    t_end = t_start + args.hours * 3600
     # resume from a previous sampling session's floors if present
     if os.path.exists(args.out):
         with open(args.out) as f:
@@ -73,7 +81,8 @@ def main(argv=None):
             if isinstance(prev.get(k), (int, float)):
                 floors[k] = prev[k]
         n = int(prev.get("n_samples", 0))
-        quietest_at = prev.get("quietest_sample_utc")
+        sampled_s = float(prev.get("sampled_hours", 0.0)) * 3600
+        best_stream_sample = prev.get("best_stream_sample")
 
     while time.time() < t_end:
         sample = {}
@@ -89,8 +98,11 @@ def main(argv=None):
         improved = [k for k in sample if sample[k] < floors[k]]
         for k in improved:
             floors[k] = sample[k]
-        if "stream_ms" in improved or "matmul_ms" in improved:
-            quietest_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if best_stream_sample is None \
+                or sample["stream_ms"] < best_stream_sample["stream_ms"]:
+            best_stream_sample = {
+                **{k: round(v, 4) for k, v in sample.items()},
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
         line = "  ".join(f"{k} {sample[k]:.3f} (floor {floors[k]:.3f}, "
                          f"seed {seeds[k]})" for k in sample)
         print(f"[floor] #{n} {line}"
@@ -99,8 +111,10 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump({**{k: round(v, 4) for k, v in floors.items()},
                        "n_samples": n,
-                       "quietest_sample_utc": quietest_at,
-                       "span_hours": args.hours}, f, indent=1)
+                       "best_stream_sample": best_stream_sample,
+                       "sampled_hours": round(
+                           (sampled_s + time.time() - t_start) / 3600, 2)},
+                      f, indent=1)
         time.sleep(args.interval)
 
     print(f"[floor] done: {n} samples, floors "
