@@ -1,0 +1,134 @@
+"""Latent fitting of an unregistered scan (reference test.py:336-520).
+
+The core of the reference's mesh-fitting experiment, factored out of the
+Tester so the serving path can fit scans without the training dataset:
+Procrustes landmark alignment onto the template frame, then Adam over a
+population of latent restarts minimizing ``10·landmark-MSE + chamfer``,
+keeping the best restart. Classification of the result stays with the
+callers (Tester adds per-region predictions and artifact export; serving
+builds a diagnosis report).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def procrustes_align(scan: np.ndarray, landmarks: np.ndarray,
+                     tpl_landmarks: np.ndarray):
+    """Align an unregistered scan onto the template's landmark frame
+    (reference test.py:350-373: centered/normalized orthogonal
+    Procrustes, then re-scaled into the template frame). Returns
+    (aligned_scan, aligned_landmarks), float64."""
+    from scipy.linalg import orthogonal_procrustes
+
+    scan = np.asarray(scan, np.float64)
+    landmarks = np.asarray(landmarks, np.float64)
+    tpl_lnd = np.asarray(tpl_landmarks, np.float64)
+
+    t_tpl = tpl_lnd.mean(0)
+    c_tpl = tpl_lnd - t_tpl
+    n_tpl = np.linalg.norm(c_tpl)
+    c_tpl = c_tpl / n_tpl
+
+    t_new = landmarks.mean(0)
+    c_new = landmarks - t_new
+    n_new = np.linalg.norm(c_new)
+    c_new = c_new / n_new
+
+    rotation, scale = orthogonal_procrustes(c_tpl, c_new)
+
+    aligned = (scan - t_new) / n_new
+    aligned = (aligned @ rotation.T) * scale
+    aligned = aligned * n_tpl + t_tpl
+    aligned_lnd = (c_new @ rotation.T) * scale * n_tpl + t_tpl
+    return aligned, aligned_lnd
+
+
+def fit_latent(manager, norm: dict | None, scan: np.ndarray,
+               landmarks: np.ndarray, landmarks_idx, *, lr: float = 5e-3,
+               iterations: int = 250, n_restarts: int = 16, seed: int = 0,
+               z_anchor: np.ndarray | None = None) -> dict:
+    """Fit a latent to an unregistered scan.
+
+    scan: [M, 3] raw vertices (any M); landmarks: [K, 3] picked on the
+    scan, corresponding to ``landmarks_idx`` on the template. norm is the
+    run's normalization dict (None for unnormalized runs). z_anchor seeds
+    one restart deterministically (the Tester passes the train-latent
+    means, reference test.py:381-389; serving has no dataset and anchors
+    at the VAE prior mean, zeros). Returns {z, vertices (raw scan space),
+    chamfer_mm2, landmark_mse_mm2, aligned_scan}.
+    """
+    import optax
+
+    mgr = manager
+    landmarks_idx = list(landmarks_idx)
+    aligned, aligned_lnd = procrustes_align(
+        scan, landmarks, mgr.template.pos[landmarks_idx])
+
+    rng = np.random.default_rng(seed)
+    z0 = rng.standard_normal(
+        (n_restarts - 1, mgr.model_latent_size)).astype(np.float32)
+    anchor = np.zeros(mgr.model_latent_size, np.float32) \
+        if z_anchor is None else np.asarray(z_anchor, np.float32)
+    z0 = np.concatenate([z0, anchor[None]], axis=0)
+
+    target = jnp.asarray(aligned, jnp.float32)
+    target_lnd = jnp.asarray(aligned_lnd, jnp.float32)
+    lnd_idx = jnp.asarray(landmarks_idx)
+    if norm is not None:
+        mean_j = jnp.asarray(norm["mean"])
+        std_j = jnp.asarray(norm["std"])
+    else:
+        mean_j, std_j = jnp.zeros(3), jnp.ones(3)
+
+    from ..models.sdvae import decode, from_vertex_major
+    from ..ops.distances import chamfer_distance as chamfer
+
+    params = mgr.state.params
+    geom = mgr.geometry
+    config = mgr.net_config
+
+    def losses(z):
+        gen = from_vertex_major(decode(params, geom, config, z))
+        gen = gen * std_j + mean_j                    # [R, N, 3]
+        lnd_loss = jnp.mean(
+            (gen[:, lnd_idx, :] - target_lnd) ** 2, axis=(1, 2))
+        # subsample the scan for the chamfer target (keeps the
+        # pairwise matrix small; full-res available via chunking)
+        ch = jax.vmap(lambda g: chamfer(g[::4], target[::4]))(gen)
+        return lnd_loss, ch
+
+    def loss_fn(z):
+        lnd_loss, ch = losses(z)
+        return jnp.sum(10.0 * lnd_loss + ch)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(z, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(z)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(z, updates), opt_state, loss
+
+    z = jnp.asarray(z0)
+    opt_state = opt.init(z)
+    for _ in range(iterations):
+        z, opt_state, loss = step(z, opt_state)
+
+    lnd_loss, ch = jax.jit(losses)(z)
+    errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
+    best = int(np.argmin(errors))
+    z_best = np.asarray(z)[best]
+
+    gen = np.asarray(mgr.generate(z_best))
+    if norm is not None:
+        gen = gen * norm["std"] + norm["mean"]
+    return {"z": z_best, "vertices": gen,
+            "chamfer_mm2": float(np.asarray(ch)[best] * mgr.to_mm_const),
+            "landmark_mse_mm2": float(np.asarray(lnd_loss)[best]
+                                      * mgr.to_mm_const),
+            "aligned_scan": aligned}

@@ -1227,99 +1227,22 @@ class Tester:
         `*_aligned.obj` / `*_fit.obj` next to the input; here they land
         in <out_dir>/fit/ to keep source dirs read-only-safe).
         """
-        import optax
+        from .fitting import fit_latent
 
         scan_mesh = read_mesh(mesh_path)
         mgr = self._manager
-        scan = scan_mesh.vertices.astype(np.float64)
         if isinstance(landmarks, str):
             with open(landmarks) as f:
                 pts = json.load(f)
             landmarks = np.asarray([[p["x"], p["y"], p["z"]] for p in pts])
-        landmarks = np.asarray(landmarks, np.float64)
 
-        # Procrustes alignment of scan onto the template's landmark frame
-        tpl_lnd = mgr.template.pos[self.template_landmarks_idx].astype(
-            np.float64)
-        t_tpl = tpl_lnd.mean(0)
-        c_tpl = tpl_lnd - t_tpl
-        n_tpl = np.linalg.norm(c_tpl)
-        c_tpl = c_tpl / n_tpl
-
-        t_new = landmarks.mean(0)
-        c_new = (landmarks - t_new)
-        n_new = np.linalg.norm(c_new)
-        c_new = c_new / n_new
-
-        from scipy.linalg import orthogonal_procrustes
-        rotation, scale = orthogonal_procrustes(c_tpl, c_new)
-
-        aligned = (scan - t_new) / n_new
-        aligned = (aligned @ rotation.T) * scale
-        aligned = aligned * n_tpl + t_tpl
-        aligned_lnd = (c_new @ rotation.T) * scale * n_tpl + t_tpl
-
-        # optimize a population of latents
-        rng = np.random.default_rng(seed)
-        z0 = rng.standard_normal(
-            (n_restarts - 1, mgr.model_latent_size)).astype(np.float32)
-        z0 = np.concatenate(
-            [z0, np.asarray(self.latent_stats["means"],
-                            np.float32)[None]], axis=0)
-
-        target = jnp.asarray(aligned, jnp.float32)
-        target_lnd = jnp.asarray(aligned_lnd, jnp.float32)
-        lnd_idx = jnp.asarray(self.template_landmarks_idx)
-        mean_j = jnp.asarray(self._norm["mean"])
-        std_j = jnp.asarray(self._norm["std"])
-
-        from ..models.sdvae import decode, from_vertex_major
-
-        params = mgr.state.params
-        geom = mgr.geometry
-        config = mgr.net_config
-
-        from ..ops.distances import chamfer_distance as chamfer
-
-        def losses(z):
-            gen = from_vertex_major(decode(params, geom, config, z))
-            gen = gen * std_j + mean_j                    # [R, N, 3]
-            lnd_loss = jnp.mean(
-                (gen[:, lnd_idx, :] - target_lnd) ** 2, axis=(1, 2))
-            # subsample the scan for the chamfer target (keeps the
-            # pairwise matrix small; full-res available via chunking)
-            ch = jax.vmap(lambda g: chamfer(g[::4], target[::4]))(gen)
-            return lnd_loss, ch
-
-        def loss_fn(z):
-            lnd_loss, ch = losses(z)
-            return jnp.sum(10.0 * lnd_loss + ch)
-
-        opt = optax.adam(lr)
-
-        @jax.jit
-        def step(z, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(z)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(z, updates), opt_state, loss
-
-        z = jnp.asarray(z0)
-        opt_state = opt.init(z)
-        for _ in range(iterations):
-            z, opt_state, loss = step(z, opt_state)
-
-        lnd_loss, ch = jax.jit(losses)(z)
-        errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
-        best = int(np.argmin(errors))
-        z_best = np.asarray(z)[best]
-
-        gen = self._unnormalize(np.asarray(mgr.generate(z_best)))
-        result = {"z": z_best, "vertices": gen,
-                  "chamfer_mm2": float(np.asarray(ch)[best]
-                                       * mgr.to_mm_const),
-                  "landmark_mse_mm2": float(np.asarray(lnd_loss)[best]
-                                            * mgr.to_mm_const),
-                  "aligned_scan": aligned}
+        result = fit_latent(
+            mgr, self._norm if self._normalized else None,
+            scan_mesh.vertices, landmarks, self.template_landmarks_idx,
+            lr=lr, iterations=iterations, n_restarts=n_restarts, seed=seed,
+            z_anchor=np.asarray(self.latent_stats["means"], np.float32))
+        gen, aligned = result["vertices"], result["aligned_scan"]
+        z_best = result["z"]
         if mgr.classifiers is not None and mgr.classifiers.qda is not None:
             result["pred_class"] = mgr.classify_latent(
                 z_best[None], "qda")

@@ -86,9 +86,17 @@ class DiagnosisService:
 
         from .models import decode, encode
 
+        from .analysis.tester import TEMPLATE_LANDMARKS_IDX
+
         self.manager = manager
+        self.normalization = normalization
         self.healthy_class = healthy_class
         self.max_batch = int(max_batch)
+        # clinical landmark indices valid on this template (the full set
+        # belongs to the flagship 17k template; override for others —
+        # same contract as Tester.template_landmarks_idx)
+        self.landmark_idx = [i for i in TEMPLATE_LANDMARKS_IDX
+                             if i < manager.template.num_vertices]
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128)
                         if b <= self.max_batch]
         if self.buckets[-1] != self.max_batch:
@@ -272,9 +280,15 @@ class DiagnosisService:
         Gaussian (the planning/assessment metric). `model` picks the
         predicting head (qda/lda/svm/mlp), posteriors are always QDA
         (the only probabilistic head — reference mm.py:516-546)."""
-        mgr = self.manager
         x, single = self._as_batch(vertices)
         mu = self.encode(x)
+        reports = self._diagnosis_reports(mu, model, include_latent=True)
+        return reports[0] if single else reports
+
+    def _diagnosis_reports(self, mu: np.ndarray, model: str,
+                           include_latent: bool) -> list:
+        """Per-row diagnosis reports for latents [B, Z]."""
+        mgr = self.manager
         # the heads under the same lock as the jits: LDA/QDA/SVM are
         # closed-form numpy, but the MLP head dispatches device work —
         # the class promises serialized device dispatch
@@ -296,13 +310,14 @@ class DiagnosisService:
                 "label": labels[i],
                 "posteriors": {idx2class[c]: float(post[i, j])
                                for j, c in enumerate(qda_classes)},
-                "latent": mu[i].tolist(),
             }
+            if include_latent:
+                rep["latent"] = mu[i].tolist()
             if healthy_idx is not None:
                 rep["mahalanobis_to_healthy"] = float(
                     mgr.classifiers.mahalanobis(mu[i], healthy_idx))
             reports.append(rep)
-        return reports[0] if single else reports
+        return reports
 
     def reconstruct(self, vertices) -> dict:
         """Raw scans → reconstructions + per-vertex/mean error in mm —
@@ -318,6 +333,48 @@ class DiagnosisService:
         if single:
             out = {k: v[0] for k, v in out.items()}
         return out
+
+    def fit(self, vertices, landmarks, lr: float = 5e-3,
+            iterations: int = 250, n_restarts: int = 16,
+            seed: int = 0, model: str = "qda") -> dict:
+        """Fit a latent to an UNREGISTERED scan (any vertex count) given
+        [K, 3] landmarks picked on it (K = the template landmark set),
+        then diagnose the fitted latent — the full clinical intake
+        workflow (reference test.py:336-520) as one request. Heavy:
+        ~iterations Adam steps over n_restarts latents; clients can trade
+        accuracy for latency via the parameters."""
+        from .analysis.fitting import fit_latent
+
+        x = np.asarray(vertices, np.float32)
+        lnd = np.asarray(landmarks, np.float32)
+        if x.ndim != 2 or x.shape[-1] != 3 or x.shape[0] == 0:
+            raise ValueError(f"scan must be [M, 3]; got {x.shape}")
+        lnd_idx = self.landmark_idx
+        if not lnd_idx:
+            raise ValueError(
+                "no landmark indices valid on this template — set "
+                "service.landmark_idx")
+        if lnd.shape != (len(lnd_idx), 3):
+            raise ValueError(
+                f"landmarks must be [{len(lnd_idx)}, 3] matching the "
+                f"template landmark set; got {lnd.shape}")
+        t0 = time.perf_counter()
+        with self._lock:
+            result = fit_latent(self.manager, self.normalization, x, lnd,
+                                lnd_idx, lr=lr, iterations=int(iterations),
+                                n_restarts=int(n_restarts), seed=int(seed))
+            self._observe(1, t0)
+        report = self.diagnose_latent(result["z"], model=model)
+        return {"z": result["z"], "vertices": result["vertices"],
+                "chamfer_mm2": result["chamfer_mm2"],
+                "landmark_mse_mm2": result["landmark_mse_mm2"],
+                "aligned_scan": result["aligned_scan"],
+                "diagnosis": report}
+
+    def diagnose_latent(self, z, model: str = "qda") -> dict:
+        """Diagnosis report for one latent [Z] (host-side heads only)."""
+        z = np.asarray(z, np.float32).reshape(1, -1)
+        return self._diagnosis_reports(z, model, include_latent=False)[0]
 
     def stats(self) -> dict:
         lat = sorted(self._latency_ms)

@@ -208,6 +208,29 @@ def test_posteriors_label_by_fitted_classes(served_run, service):
     assert set(rep["posteriors"]) == fitted
 
 
+def test_fit_unregistered_scan(served_run, service):
+    """service.fit: an unregistered scan (subset of vertices, scaled off
+    the template frame) + landmarks → fitted latent, mesh in scan space,
+    mm metrics, and a diagnosis report."""
+    mgr = served_run["manager"]
+    n = mgr.template.num_vertices
+    service.landmark_idx = list(range(0, n, max(n // 6, 1)))[:6]
+    scan = served_run["raw"][0] * 1.1            # off-frame "scan"
+    landmarks = scan[service.landmark_idx]
+    out = service.fit(scan, landmarks, iterations=3, n_restarts=2)
+    assert out["z"].shape == (mgr.model_latent_size,)
+    assert out["vertices"].shape == (n, 3)
+    assert out["aligned_scan"].shape == scan.shape
+    assert out["chamfer_mm2"] >= 0 and out["landmark_mse_mm2"] >= 0
+    rep = out["diagnosis"]
+    assert rep["label"] in set(mgr._class2idx_dict)
+    assert abs(sum(rep["posteriors"].values()) - 1.0) < 1e-6
+    with pytest.raises(ValueError, match="landmarks must be"):
+        service.fit(scan, landmarks[:2], iterations=1, n_restarts=1)
+    with pytest.raises(ValueError, match="scan must be"):
+        service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
+
+
 def test_from_run_dir_without_dataset(served_run, tmp_path):
     """The service must come up from run dir + precomputed dir alone —
     the training mesh dir may be gone in deployment."""
@@ -280,6 +303,18 @@ class TestHTTP:
         assert "label" in rep and "posteriors" in rep
         dec = self._post(server + "/decode", {"latent": [rep["latent"]]})
         assert np.asarray(dec["vertices"]).shape == raw.shape
+
+    def test_fit_endpoint(self, served_run, service, server):
+        mgr = served_run["manager"]
+        n = mgr.template.num_vertices
+        service.landmark_idx = list(range(0, n, max(n // 6, 1)))[:6]
+        scan = served_run["raw"][0] * 1.1
+        out = self._post(server + "/fit", {
+            "vertices": scan.tolist(),
+            "landmarks": scan[service.landmark_idx].tolist(),
+            "iterations": 2, "n_restarts": 2})
+        assert np.asarray(out["vertices"]).shape == (n, 3)
+        assert "label" in out["diagnosis"]
 
     def test_error_surfaces_as_400(self, server):
         req = urllib.request.Request(server + "/encode",

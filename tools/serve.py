@@ -14,6 +14,12 @@ with Content-Type: application/octet-stream):
     POST /reconstruct   same body → {vertices, vertex_errors_mm,
                         mean_error_mm, latent}
     POST /decode        {"latent": [[...]...]} → {"vertices": ...}
+    POST /fit           {"vertices": [[x,y,z]...] (UNREGISTERED scan, any
+                        count), "landmarks": [[x,y,z]×K] (the template
+                        landmark set picked on the scan), optional lr/
+                        iterations/n_restarts/seed/model} → {z, vertices,
+                        chamfer_mm2, landmark_mse_mm2, aligned_scan,
+                        diagnosis} — the full clinical intake workflow
 
 The service pads every request to a static batch bucket so XLA programs
 are compiled once per bucket (at startup, unless --no_warmup) and reused
@@ -94,6 +100,16 @@ def make_handler(service):
                     out = service.decode(np.asarray(body["latent"],
                                                     np.float32))
                     self._reply(200, {"vertices": out})
+                elif self.path == "/fit":
+                    out = service.fit(
+                        np.asarray(body["vertices"], np.float32),
+                        np.asarray(body["landmarks"], np.float32),
+                        lr=float(body.get("lr", 5e-3)),
+                        iterations=int(body.get("iterations", 250)),
+                        n_restarts=int(body.get("n_restarts", 16)),
+                        seed=int(body.get("seed", 0)),
+                        model=body.get("model", "qda"))
+                    self._reply(200, out)
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # surface errors to the client
