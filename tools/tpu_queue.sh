@@ -63,8 +63,15 @@ if ! stamp dtypeprobe; then
     && mark dtypeprobe || echo "[queue] dtypeprobe FAILED rc=$?" | tee -a $LOG/queue.log
 fi
 
+if ! stamp floor; then
+  echo "[queue] canary floor sampling (1h)..." | tee -a $LOG/queue.log
+  timeout 4200 python tools/canary_floor.py --hours 1 --interval 120 \
+    > $LOG/floor.log 2>&1 \
+    && mark floor || echo "[queue] floor FAILED rc=$?" | tee -a $LOG/queue.log
+fi
+
 if stamp entry && stamp roofline && stamp bench && stamp train \
-    && stamp eval && stamp dtypeprobe; then
+    && stamp eval && stamp dtypeprobe && stamp floor; then
   echo "[queue] ALL DONE at $(date)" | tee -a $LOG/queue.log
 else
   echo "[queue] FINISHED WITH FAILURES at $(date) — stamps:" \
