@@ -231,6 +231,32 @@ def test_fit_unregistered_scan(served_run, service):
         service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
 
 
+def test_concurrent_requests_are_correct(served_run, service):
+    """8 threads hammering encode/diagnose concurrently must each get the
+    same answers as the serial path (device dispatch serializes behind
+    the service lock; stats counters stay consistent)."""
+    import concurrent.futures
+
+    raw = served_run["raw"]
+    serial = service.encode(raw[:2])
+    before = service.n_requests
+
+    def one(i):
+        if i % 2 == 0:
+            return np.asarray(service.encode(raw[:2]))
+        return service.diagnose(raw[0])["label"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    serial_label = service.diagnose(raw[0])["label"]
+    for i, r in enumerate(results):
+        if i % 2 == 0:
+            np.testing.assert_allclose(r, serial, rtol=1e-6)
+        else:
+            assert r == serial_label
+    assert service.n_requests > before
+
+
 def test_from_run_dir_without_dataset(served_run, tmp_path):
     """The service must come up from run dir + precomputed dir alone —
     the training mesh dir may be gone in deployment."""
