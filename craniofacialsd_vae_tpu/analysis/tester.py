@@ -757,6 +757,8 @@ class Tester:
         QDA Gaussian, locating the 3/2/1-std crossings by log-pdf thresholds
         (reference test.py:652-748). Returns the key latents + per-procedure
         interpolations; renders artifacts when render=True."""
+        from .planning import healthy_gaussian, plan_to_healthy
+
         mgr = self._manager
         z_p = self._load_and_encode(patient_path).reshape(-1)
         patient_fname = os.path.basename(patient_path)
@@ -766,93 +768,22 @@ class Tester:
             "surgical planning needs the trained QDA (run " \
             "train_and_validate_classifiers or resume a checkpoint " \
             "with classifier pickles first)"
-        qda = mgr.classifiers.qda
-        n_idx_label = mgr.class2idx("n")
-        i = int(np.where(qda.classes == n_idx_label)[0][0])
-        mean_h = qda.means[i]
-        cov_h = qda.covs[i]
-
-        # negative log-pdf thresholds at 1/2/3 std along the first
-        # eigen-axis of the covariance
-        eigval, _ = np.linalg.eigh(cov_h)
-        d = len(mean_h)
-        logdet = float(np.linalg.slogdet(cov_h)[1])
-        const = 0.5 * (d * np.log(2 * np.pi) + logdet)
-
-        def neg_logpdf(z):
-            diff = z - mean_h
-            maha2 = diff @ QDAClassifier._solve_cov(cov_h, diff)
-            return const + 0.5 * maha2
-
-        # reference distribution: centered, diagonalized covariance; the
-        # k-std point lies at k·sqrt(λ_max) wait — reference uses the first
-        # eigenvalue axis (ascending order ⇒ smallest); kept identical.
-        # clip for rank-deficient covariances (tiny datasets)
-        ref_logdet = float(np.sum(np.log(np.maximum(eigval, 1e-12))))
-        ref_const = 0.5 * (d * np.log(2 * np.pi) + ref_logdet)
-
-        def ref_neg_logpdf_at_std(k):
-            return ref_const + 0.5 * (k ** 2)
-
-        thresholds = {3: ref_neg_logpdf_at_std(3),
-                      2: ref_neg_logpdf_at_std(2),
-                      1: ref_neg_logpdf_at_std(1)}
-
-        z_interp_full = vector_linspace(z_p, mean_h, n_linspace)
-        pdf_path = np.array([neg_logpdf(z) for z in z_interp_full])
-        targets = {}
-        for k, thr in thresholds.items():
-            hits = np.where(pdf_path <= thr)[0]
-            targets[k] = z_interp_full[hits[0]] if len(hits) \
-                else mean_h.astype(np.float32)
-
-        out = {"z_patient": z_p, "z_mean_target": mean_h,
-               "z_3std": targets[3], "z_2std": targets[2],
-               "z_1std": targets[1]}
-
-        # all-attributes interpolation
-        z_interp = np.concatenate([
-            vector_linspace(z_p, targets[3], n_p_to_3std),
-            targets[2][None], targets[1][None],
-            mean_h[None].astype(np.float32)], axis=0)
-        out["all_attributes"] = z_interp
+        mean_h, cov_h = healthy_gaussian(mgr.classifiers.qda,
+                                         mgr.class2idx("n"))
+        out = plan_to_healthy(z_p, mean_h, cov_h, mgr.latent_regions,
+                              n_p_to_3std=n_p_to_3std,
+                              n_linspace=n_linspace)
         if render:
             self._render_embed_save_z_interpolations(
-                z_interp, patient_fname[:-4] + "_all_attributes")
-
-        # per-procedure interpolations: only the affected regions move
-        proc_distances = []
-        out["procedures"] = {}
-        for proc, attributes in PROCEDURES2ATTRIBUTES.items():
-            zp_grid = np.tile(z_p, (n_p_to_3std + 3, 1)).astype(np.float32)
-            for attr in attributes:
-                if attr not in mgr.latent_regions:
-                    continue
-                lo, hi = mgr.latent_regions[attr]
-                zp_grid[:n_p_to_3std, lo:hi] = vector_linspace(
-                    z_p[lo:hi], targets[3][lo:hi], n_p_to_3std)
-                zp_grid[n_p_to_3std, lo:hi] = targets[2][lo:hi]
-                zp_grid[n_p_to_3std + 1, lo:hi] = targets[1][lo:hi]
-                zp_grid[n_p_to_3std + 2, lo:hi] = mean_h[lo:hi]
-            out["procedures"][proc] = zp_grid
-            proc_distances.append({
-                "procedure": proc,
-                "d3": float(np.mean(
-                    (zp_grid[n_p_to_3std - 1] - mean_h) ** 2)),
-                "d2": float(np.mean((zp_grid[n_p_to_3std] - mean_h) ** 2)),
-                "d1": float(np.mean(
-                    (zp_grid[n_p_to_3std + 1] - mean_h) ** 2)),
-                "dm": float(np.mean(
-                    (zp_grid[n_p_to_3std + 2] - mean_h) ** 2)),
-            })
-            if render:
+                out["all_attributes"],
+                patient_fname[:-4] + "_all_attributes")
+            for proc, zp_grid in out["procedures"].items():
                 self._render_embed_save_z_interpolations(
                     zp_grid, patient_fname[:-4] + "_" + proc)
-        if render:
             import pandas as pd
             interp_dir = os.path.join(self._out_dir, "interpolations")
             os.makedirs(interp_dir, exist_ok=True)
-            pd.DataFrame(proc_distances).to_csv(os.path.join(
+            pd.DataFrame(out["procedure_distances"]).to_csv(os.path.join(
                 interp_dir,
                 patient_fname[:-4] + "_procedure_distances.csv"))
         return out

@@ -3,9 +3,10 @@
 The reference has no deployment story — inference means re-running its
 evaluation notebook against the training workspace. This module loads a
 run directory (config snapshot + checkpoint + classifier zoo +
-normalization stats) WITHOUT the training dataset and serves the three
+normalization stats) WITHOUT the training dataset and serves the
 clinical requests — diagnosis, reconstruction-error screening, latent
-encoding — through TPU-shaped inference programs:
+encoding, scan fitting, and surgical planning — through TPU-shaped
+inference programs:
 
 - **Static batch buckets.** Requests are padded to the next bucket size
   (powers of two up to ``max_batch``) so every request shape hits XLA's
@@ -375,6 +376,69 @@ class DiagnosisService:
         """Diagnosis report for one latent [Z] (host-side heads only)."""
         z = np.asarray(z, np.float32).reshape(1, -1)
         return self._diagnosis_reports(z, model, include_latent=False)[0]
+
+    def plan(self, vertices=None, latent=None, n_p_to_3std: int = 8,
+             n_linspace: int = 5000, model: str = "qda",
+             decode_key_meshes: bool = True,
+             include_paths: bool = False) -> dict:
+        """Surgical planning for ONE patient: walk the latent toward the
+        healthy-class QDA Gaussian, return the 3/2/1-std crossing latents,
+        the per-procedure latent-distance table, and (by default) the
+        decoded target meshes at each crossing — the reference's planning
+        experiment (test.py:652-748) as a single deployment request.
+
+        Pass either raw ``vertices`` ([N, 3], registered to the template)
+        or a precomputed ``latent`` [Z]. ``include_paths`` additionally
+        returns the full all-attributes and per-procedure z walks
+        ([n_p_to_3std + 3, Z] each) for clients that decode their own
+        frames via /decode."""
+        from .analysis.planning import healthy_gaussian, plan_to_healthy
+
+        if (vertices is None) == (latent is None):
+            raise ValueError("pass exactly one of vertices / latent")
+        if vertices is not None:
+            x, single = self._as_batch(vertices)
+            if not single and x.shape[0] != 1:
+                raise ValueError("plan() takes ONE patient mesh")
+            z_p = np.asarray(self.encode(x[0]), np.float32)
+        else:
+            z_p = np.asarray(latent, np.float32).reshape(-1)
+            nz = self.manager.model_latent_size
+            if z_p.shape[0] != nz:
+                raise ValueError(f"latent must have Z={nz} dims; "
+                                 f"got {z_p.shape[0]}")
+        mgr = self.manager
+        if self.healthy_class not in mgr._class2idx_dict:
+            raise ValueError(
+                f"healthy class {self.healthy_class!r} is not among the "
+                f"run's classes {sorted(mgr._class2idx_dict)}")
+        mean_h, cov_h = healthy_gaussian(
+            mgr.classifiers.qda, mgr.class2idx(self.healthy_class))
+        t0 = time.perf_counter()
+        result = plan_to_healthy(z_p, mean_h, cov_h, mgr.latent_regions,
+                                 n_p_to_3std=int(n_p_to_3std),
+                                 n_linspace=int(n_linspace))
+        out = {
+            "diagnosis": self.diagnose_latent(z_p, model=model),
+            "z_patient": z_p,
+            "z_3std": result["z_3std"], "z_2std": result["z_2std"],
+            "z_1std": result["z_1std"],
+            "z_mean_target": np.asarray(result["z_mean_target"],
+                                        np.float32),
+            "procedure_distances": result["procedure_distances"],
+        }
+        if include_paths:
+            out["all_attributes"] = result["all_attributes"]
+            out["procedures"] = result["procedures"]
+        if decode_key_meshes:
+            keys = ["z_3std", "z_2std", "z_1std", "z_mean_target"]
+            zs = np.stack([np.asarray(out[k], np.float32) for k in keys])
+            meshes = self.decode(zs)            # one bucketed dispatch
+            out["target_meshes"] = {k[2:]: meshes[i]
+                                    for i, k in enumerate(keys)}
+        with self._lock:                 # _observe mutates shared state
+            self._observe(1, t0)
+        return out
 
     def stats(self) -> dict:
         lat = sorted(self._latency_ms)

@@ -231,6 +231,63 @@ def test_fit_unregistered_scan(served_run, service):
         service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
 
 
+def test_plan_matches_tester(served_run, service, tmp_path):
+    """service.plan == Tester.interpolate_syndrome_to_normal on the same
+    patient: identical crossing latents and procedure-distance table when
+    fed the exact same latent (shared analysis.planning core), and the
+    decoded target meshes equal service.decode of the crossing latents."""
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.geometry import write_obj
+
+    mgr, norm = served_run["manager"], served_run["norm"]
+    raw = served_run["raw"]
+    patient = tmp_path / "patient.obj"
+    write_obj(str(patient), raw[0], np.asarray(mgr.template.face))
+    tester = Tester(mgr, norm, None, None, str(tmp_path / "eval"),
+                    served_run["config"], lazy_stats=True)
+    ref = tester.interpolate_syndrome_to_normal(str(patient),
+                                                render=False)
+
+    out = service.plan(latent=ref["z_patient"], include_paths=True)
+    for key in ("z_3std", "z_2std", "z_1std", "z_mean_target",
+                "all_attributes"):
+        np.testing.assert_allclose(out[key], ref[key], rtol=1e-6,
+                                    atol=1e-7, err_msg=key)
+    assert out["procedure_distances"] == ref["procedure_distances"]
+    assert set(out["procedures"]) == set(ref["procedures"])
+    # decoded targets come from the same bucketed decode path (batch-4
+    # bucket vs batch-1 bucket → different XLA fusions, ~1e-6 noise)
+    np.testing.assert_allclose(
+        out["target_meshes"]["mean_target"],
+        service.decode(out["z_mean_target"]), rtol=1e-4, atol=1e-5)
+    assert set(out["target_meshes"]) == {"3std", "2std", "1std",
+                                         "mean_target"}
+
+    # vertices-input path: encode noise keeps crossings within one
+    # linspace step of the tester's (which encoded the same mesh)
+    out_v = service.plan(vertices=raw[0], decode_key_meshes=False)
+    step = np.abs(ref["z_mean_target"] - ref["z_patient"]).max() / 5000
+    for key in ("z_3std", "z_2std", "z_1std"):
+        np.testing.assert_allclose(out_v[key], ref[key],
+                                    atol=max(5 * step, 1e-3), rtol=1e-2,
+                                    err_msg=key)
+    assert out_v["diagnosis"]["label"] in set(mgr._class2idx_dict)
+
+    # crossings are ordered along the walk: 3-std is hit first, so the
+    # 1-std point sits closest to the healthy mean
+    def d(k):
+        return float(np.linalg.norm(out[k] - out["z_mean_target"]))
+    assert d("z_1std") <= d("z_2std") + 1e-6
+    assert d("z_2std") <= d("z_3std") + 1e-6
+
+    with pytest.raises(ValueError, match="exactly one"):
+        service.plan()
+    with pytest.raises(ValueError, match="exactly one"):
+        service.plan(vertices=raw[0], latent=ref["z_patient"])
+    with pytest.raises(ValueError, match="ONE patient"):
+        service.plan(vertices=raw[:2])
+
+
 def test_concurrent_requests_are_correct(served_run, service):
     """8 threads hammering encode/diagnose concurrently must each get the
     same answers as the serial path (device dispatch serializes behind
@@ -341,6 +398,29 @@ class TestHTTP:
             "iterations": 2, "n_restarts": 2})
         assert np.asarray(out["vertices"]).shape == (n, 3)
         assert "label" in out["diagnosis"]
+
+    def test_plan_endpoint(self, served_run, service, server):
+        raw = served_run["raw"][0]
+        out = self._post(server + "/plan", {
+            "vertices": raw.tolist(), "n_linspace": 500,
+            "include_paths": True})
+        assert out["diagnosis"]["label"] in \
+            set(served_run["manager"]._class2idx_dict)
+        n = served_run["manager"].template.num_vertices
+        for k in ("3std", "2std", "1std", "mean_target"):
+            assert np.asarray(out["target_meshes"][k]).shape == (n, 3)
+        assert len(out["procedure_distances"]) > 0
+        assert {"procedure", "d3", "d2", "d1", "dm"} <= \
+            set(out["procedure_distances"][0])
+        zdim = served_run["manager"].model_latent_size
+        assert np.asarray(out["all_attributes"]).shape == (8 + 3, zdim)
+        # latent-input variant round-trips through JSON too
+        out2 = self._post(server + "/plan", {
+            "latent": out["z_patient"], "n_linspace": 500,
+            "decode_key_meshes": False})
+        np.testing.assert_allclose(np.asarray(out2["z_3std"]),
+                                   np.asarray(out["z_3std"]), rtol=1e-6)
+        assert "target_meshes" not in out2
 
     def test_error_surfaces_as_400(self, server):
         req = urllib.request.Request(server + "/encode",

@@ -20,6 +20,12 @@ with Content-Type: application/octet-stream):
                         iterations/n_restarts/seed/model} → {z, vertices,
                         chamfer_mm2, landmark_mse_mm2, aligned_scan,
                         diagnosis} — the full clinical intake workflow
+    POST /plan          {"vertices": [[x,y,z]...] (ONE registered patient
+                        mesh) | "latent": [...], optional n_p_to_3std/
+                        n_linspace/model/decode_key_meshes/include_paths}
+                        → {diagnosis, z_patient, z_3std/z_2std/z_1std/
+                        z_mean_target, procedure_distances, target_meshes}
+                        — surgical planning (reference test.py:652-748)
 
 The service pads every request to a static batch bucket so XLA programs
 are compiled once per bucket (at startup, unless --no_warmup) and reused
@@ -109,6 +115,20 @@ def make_handler(service):
                         n_restarts=int(body.get("n_restarts", 16)),
                         seed=int(body.get("seed", 0)),
                         model=body.get("model", "qda"))
+                    self._reply(200, out)
+                elif self.path == "/plan":
+                    out = service.plan(
+                        vertices=(np.asarray(body["vertices"], np.float32)
+                                  if "vertices" in body else None),
+                        latent=(np.asarray(body["latent"], np.float32)
+                                if "latent" in body else None),
+                        n_p_to_3std=int(body.get("n_p_to_3std", 8)),
+                        n_linspace=int(body.get("n_linspace", 5000)),
+                        model=body.get("model", "qda"),
+                        decode_key_meshes=bool(
+                            body.get("decode_key_meshes", True)),
+                        include_paths=bool(body.get("include_paths",
+                                                    False)))
                     self._reply(200, out)
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
