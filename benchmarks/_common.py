@@ -108,6 +108,74 @@ def make_matmul_canary(rng: np.random.Generator):
     return matmul_ms
 
 
+def make_flagship_step_timer(rng: np.random.Generator):
+    """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
+    scanned train step (craniofacial.yaml model section incl. the mixed
+    compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
+    swap grid) — the same program bench.py's throughput trials measure.
+    Two scan lengths (10/60 steps), two repeats each; the slope cancels
+    the dispatch+fetch round-trip. The train state is carried across
+    calls (the scanned step donates its input state buffers, so a frozen
+    state cannot be re-fed); step timing is shape-, not value-dependent,
+    and Adam at lr 1e-4 on the fixed random dataset stays finite over
+    hours of sampling."""
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from __graft_entry__ import _flagship_geometry
+    from craniofacialsd_vae_tpu.models import init_sdvae
+    from craniofacialsd_vae_tpu.training import (LossWeights,
+                                                 create_train_state,
+                                                 make_scanned_train_step)
+    from craniofacialsd_vae_tpu.utils import flagship_sdvae_config
+
+    geom = _flagship_geometry()
+    config = flagship_sdvae_config(repo)
+    params = init_sdvae(jax.random.PRNGKey(0), config, geom)
+    opt = optax.adamw(1e-4, weight_decay=0.0)
+    state = create_train_state(params, opt)
+    weights = LossWeights(kl=1e-4, laplacian=0.1, latent_consistency=0.5)
+    batch = 4
+    n_verts = geom.region_masks.shape[1]
+    epoch = make_scanned_train_step(config, weights, opt, batch_size=batch,
+                                    swap=True)
+    n_data = 32
+    data = jnp.asarray(rng.normal(size=(n_data, n_verts, 3))
+                       .astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    idx = jnp.asarray(rng.integers(0, n_data, size=(60, batch)), jnp.int32)
+
+    def run(n_steps):
+        nonlocal state
+        t0 = time.perf_counter()
+        state, m = epoch(state, geom, data, idx[:n_steps],
+                         jnp.arange(n_steps), None, None, key)
+        float(m["tot"])               # value fetch: true completion
+        return time.perf_counter() - t0
+
+    run(10)                           # compile both scan lengths
+    run(60)
+
+    def step_ms():
+        shorts, longs = [], []
+        for _ in range(2):
+            shorts.append(run(10))
+            longs.append(run(60))
+        dt = (min(longs) - min(shorts)) / 50
+        if dt <= 0:                   # contention corrupted the pair
+            dt = min(longs) / 60
+        return dt * 1e3
+
+    return step_ms
+
+
 def chained_gather_rate(idx, n_src: int, w: int, rng: np.random.Generator,
                         dtype=None) -> float:
     """Rows/s of `jnp.take(src, idx, axis=0)` on a [n_src, w] table of

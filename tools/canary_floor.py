@@ -44,6 +44,12 @@ def main(argv=None):
     parser.add_argument("--out", type=str,
                         default=os.path.join(REPO, "benchmarks",
                                              "canary_floor.json"))
+    parser.add_argument("--step", action="store_true",
+                        help="also sample the flagship scanned train step "
+                        "(slope-timed ms/step) each interval — the running "
+                        "minimum is the MEASURED quiet step floor that the "
+                        "roofline comparison needs (the bench headline "
+                        "extrapolates it from contended windows otherwise)")
     args = parser.parse_args(argv)
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
@@ -55,6 +61,7 @@ def main(argv=None):
 
     from benchmarks._common import (GATHER_QUIET_MS, MATMUL_QUIET_MS,
                                     STREAM_QUIET_MS, make_ell_gather_canary,
+                                    make_flagship_step_timer,
                                     make_matmul_canary, make_stream_canary)
 
     rng = np.random.default_rng(0)
@@ -63,12 +70,18 @@ def main(argv=None):
                 "stream_ms": make_stream_canary(rng)}
     seeds = {"matmul_ms": MATMUL_QUIET_MS, "gather_ms": GATHER_QUIET_MS,
              "stream_ms": STREAM_QUIET_MS}
+    if args.step:
+        canaries["step_ms"] = make_flagship_step_timer(rng)
+        seeds["step_ms"] = "-"      # no prior measured quiet floor
 
     floors = dict.fromkeys(canaries, float("inf"))
     best_stream_sample = None   # the FULL sample at the lowest stream_ms:
     # the promotion criterion ("stream floor concurrent with the known
     # matmul floor") must be verifiable from the file, and independent
     # per-canary minima can come from different samples
+    best_step_sample = None     # ditto for the step floor (--step): the
+    # claim "the step's quiet floor is X ms" needs the concurrent canaries
+    # to show the window really was quiet
     n = 0
     sampled_s = 0.0             # accumulated across resumed sessions
     t_start = time.time()
@@ -77,12 +90,16 @@ def main(argv=None):
     if os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)
-        for k in floors:
-            if isinstance(prev.get(k), (int, float)):
-                floors[k] = prev[k]
+        for k in prev:
+            # adopt any previously recorded floor (incl. step_ms from a
+            # --step session resumed without the flag — never drop it)
+            if k.endswith("_ms") and isinstance(prev[k], (int, float)):
+                floors.setdefault(k, float("inf"))
+                floors[k] = min(floors[k], prev[k])
         n = int(prev.get("n_samples", 0))
         sampled_s = float(prev.get("sampled_hours", 0.0)) * 3600
         best_stream_sample = prev.get("best_stream_sample")
+        best_step_sample = prev.get("best_step_sample")
 
     while time.time() < t_end:
         sample = {}
@@ -103,18 +120,26 @@ def main(argv=None):
             best_stream_sample = {
                 **{k: round(v, 4) for k, v in sample.items()},
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        if "step_ms" in sample and (
+                best_step_sample is None
+                or sample["step_ms"] < best_step_sample["step_ms"]):
+            best_step_sample = {
+                **{k: round(v, 4) for k, v in sample.items()},
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
         line = "  ".join(f"{k} {sample[k]:.3f} (floor {floors[k]:.3f}, "
                          f"seed {seeds[k]})" for k in sample)
         print(f"[floor] #{n} {line}"
               + (f"  ← new floor: {','.join(improved)}" if improved else ""),
               flush=True)
+        out = {**{k: round(v, 4) for k, v in floors.items()},
+               "n_samples": n,
+               "best_stream_sample": best_stream_sample,
+               "sampled_hours": round(
+                   (sampled_s + time.time() - t_start) / 3600, 2)}
+        if best_step_sample is not None:
+            out["best_step_sample"] = best_step_sample
         with open(args.out, "w") as f:
-            json.dump({**{k: round(v, 4) for k, v in floors.items()},
-                       "n_samples": n,
-                       "best_stream_sample": best_stream_sample,
-                       "sampled_hours": round(
-                           (sampled_s + time.time() - t_start) / 3600, 2)},
-                      f, indent=1)
+            json.dump(out, f, indent=1)
         time.sleep(args.interval)
 
     print(f"[floor] done: {n} samples, floors "
