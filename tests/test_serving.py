@@ -288,6 +288,51 @@ def test_plan_matches_tester(served_run, service, tmp_path):
         service.plan(vertices=raw[:2])
 
 
+def test_batch_diagnose_cli(served_run, service, tmp_path):
+    """tools/batch_diagnose.py: a directory of scans → diagnoses.csv with
+    labels that match the service's own diagnose path, plus a skipped row
+    (wrong vertex count → fit-intake note) and saved reconstructions."""
+    import csv
+
+    from craniofacialsd_vae_tpu.geometry import read_mesh, write_obj
+    from tools.batch_diagnose import main as batch_main
+
+    mgr, raw = served_run["manager"], served_run["raw"]
+    faces = np.asarray(mgr.template.face)
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    for i in range(3):
+        write_obj(str(scans / f"patient_{i}.obj"), raw[i], faces)
+    # unregistered scan: wrong vertex count → reported, not fatal
+    write_obj(str(scans / "unregistered.obj"), raw[0][:50],
+              np.array([[0, 1, 2]]))
+    out = tmp_path / "intake"
+
+    summary = batch_main(["--run_dir", served_run["run_dir"],
+                          "--scans", str(scans), "--out", str(out),
+                          "--save_recons"])
+    assert summary["n_diagnosed"] == 3 and summary["n_skipped"] == 1
+    assert sum(summary["labels"].values()) == 3
+    assert summary["mean_recon_error_mm"] > 0
+
+    with open(out / "diagnoses.csv") as f:
+        rows = {r["file"]: r for r in csv.DictReader(f)}
+    assert len(rows) == 4
+    assert "unregistered scan" in rows["unregistered.obj"]["error"]
+    assert rows["unregistered.obj"]["label"] == ""
+    classes = set(mgr._class2idx_dict)
+    for i in range(3):
+        row = rows[f"patient_{i}.obj"]
+        # parity with the service's own single-mesh diagnosis
+        assert row["label"] == service.diagnose(raw[i])["label"]
+        assert row["label"] in classes
+        post = [float(row[f"p_{c}"]) for c in classes
+                if f"p_{c}" in row and row[f"p_{c}"] != ""]
+        np.testing.assert_allclose(sum(post), 1.0, atol=1e-4)
+        recon = read_mesh(str(out / f"patient_{i}_recon.obj"))
+        assert recon.vertices.shape == raw[i].shape
+
+
 def test_concurrent_requests_are_correct(served_run, service):
     """8 threads hammering encode/diagnose concurrently must each get the
     same answers as the serial path (device dispatch serializes behind
