@@ -19,6 +19,11 @@ inference programs:
 - **Host-side heads.** The classifier zoo (QDA posteriors, Mahalanobis
   distances, LDA projection) runs closed-form on the fetched latents —
   microseconds of numpy against a [B, Z] array.
+- **Mesh-scaled screening.** ``data_parallel=True`` shards every
+  bucket's batch axis over all visible devices (params replicated, via
+  ``jax.sharding`` — no collectives: the model's gathers run over the
+  unsharded vertex axis), so batch throughput scales with the chip
+  mesh. Bucket sizes become multiples of the device count.
 
 ``tools/serve.py`` wraps this in a stdlib HTTP server. The service is
 also directly usable as a library::
@@ -81,7 +86,8 @@ class DiagnosisService:
     dispatch is serialized behind one lock (jit programs are shared)."""
 
     def __init__(self, manager, normalization: dict,
-                 healthy_class: str = "n", max_batch: int = 16):
+                 healthy_class: str = "n", max_batch: int = 16,
+                 data_parallel: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -93,13 +99,25 @@ class DiagnosisService:
         self.normalization = normalization
         self.healthy_class = healthy_class
         self.max_batch = int(max_batch)
+        # Data-parallel serving: shard the batch axis of every bucket
+        # over ALL visible devices (params replicated) — screening
+        # throughput scales with the chip mesh; XLA partitions the
+        # batch-major programs without collectives (the model's gathers
+        # run over the vertex axis, which stays unsharded).
+        self.n_devices = jax.device_count() if data_parallel else 1
+        if data_parallel and self.max_batch % self.n_devices:
+            raise ValueError(
+                f"data_parallel serving pads each request to a multiple "
+                f"of the {self.n_devices}-device mesh: max_batch "
+                f"{self.max_batch} must be a multiple of it")
         # clinical landmark indices valid on this template (the full set
         # belongs to the flagship 17k template; override for others —
         # same contract as Tester.template_landmarks_idx)
         self.landmark_idx = [i for i in TEMPLATE_LANDMARKS_IDX
                              if i < manager.template.num_vertices]
-        self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128)
-                        if b <= self.max_batch]
+        self.buckets = [b * self.n_devices
+                        for b in (1, 2, 4, 8, 16, 32, 64, 128)
+                        if b * self.n_devices <= self.max_batch]
         if self.buckets[-1] != self.max_batch:
             self.buckets.append(self.max_batch)
         self._lock = threading.Lock()
@@ -112,13 +130,21 @@ class DiagnosisService:
         std = jnp.asarray(normalization["std"], jnp.float32)
         to_mm = float(manager.to_mm_const)
 
-        @jax.jit
+        jit_kwargs = {}
+        if self.n_devices > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            # params replicated, request batch split along axis 0; every
+            # bucket size is a multiple of the mesh, so shards are even
+            jit_kwargs["in_shardings"] = (
+                NamedSharding(mesh, PartitionSpec()),
+                NamedSharding(mesh, PartitionSpec("data")))
+
         def _encode_raw(params, x):          # raw [B, N, 3] → mu [B, Z]
             xn = (x - mean) / std
             mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
             return mu
 
-        @jax.jit
         def _reconstruct_raw(params, x):
             """raw [B, N, 3] → (recon raw [B, N, 3], per-vertex mm error
             [B, N], mu [B, Z]) in ONE dispatch."""
@@ -129,20 +155,20 @@ class DiagnosisService:
             err = jnp.sqrt(jnp.sum((recon - x) ** 2, axis=-1)) * to_mm
             return recon, err, mu
 
-        @jax.jit
         def _decode_raw(params, z):          # [B, Z] → raw [B, N, 3]
             out = jnp.swapaxes(decode(params, geom, config, z), 0, 1)
             return out * std + mean
 
-        self._jit_encode_raw = _encode_raw
-        self._jit_reconstruct_raw = _reconstruct_raw
-        self._jit_decode_raw = _decode_raw
+        self._jit_encode_raw = jax.jit(_encode_raw, **jit_kwargs)
+        self._jit_reconstruct_raw = jax.jit(_reconstruct_raw, **jit_kwargs)
+        self._jit_decode_raw = jax.jit(_decode_raw, **jit_kwargs)
 
     # ------------------------------------------------------------------
     @classmethod
     def from_run_dir(cls, run_dir: str, classes: dict | None = None,
                      healthy_class: str = "n", max_batch: int = 16,
-                     warm: bool = False) -> "DiagnosisService":
+                     warm: bool = False,
+                     data_parallel: bool = False) -> "DiagnosisService":
         """Build a service from ``outputs/<id>/`` alone: config snapshot,
         last checkpoint, classifier zoo, and the precomputed dir's
         normalization stats. The training dataset is NOT needed."""
@@ -175,7 +201,8 @@ class DiagnosisService:
         manager.set_class_conversions(classes)
 
         svc = cls(manager, load_normalization(precomp),
-                  healthy_class=healthy_class, max_batch=max_batch)
+                  healthy_class=healthy_class, max_batch=max_batch,
+                  data_parallel=data_parallel)
         if warm:
             svc.warmup()
         return svc
@@ -449,6 +476,7 @@ class DiagnosisService:
             "p50_ms": lat[len(lat) // 2] if lat else None,
             "p95_ms": lat[int(len(lat) * 0.95)] if lat else None,
             "buckets": self.buckets,
+            "n_devices": self.n_devices,
             "platform": jax.devices()[0].platform,
             "classes": dict(self.manager._class2idx_dict),
         }

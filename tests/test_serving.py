@@ -288,6 +288,49 @@ def test_plan_matches_tester(served_run, service, tmp_path):
         service.plan(vertices=raw[:2])
 
 
+def test_data_parallel_service_parity(served_run, service):
+    """data_parallel=True shards each bucket's batch axis over the
+    8-device virtual mesh (conftest); every answer must match the
+    single-device service — the sharding is a throughput layout, not a
+    numeric change."""
+    import jax
+
+    from craniofacialsd_vae_tpu.serving import DiagnosisService
+
+    n_dev = jax.device_count()
+    assert n_dev == 8
+    dp = DiagnosisService.from_run_dir(served_run["run_dir"],
+                                       max_batch=16, data_parallel=True)
+    assert dp.stats()["n_devices"] == n_dev
+    assert dp.buckets == [8, 16]
+    assert all(b % n_dev == 0 for b in dp.buckets)
+
+    # the compiled program really spans the mesh: the on-device output
+    # of a full 16-bucket lives on all 8 devices
+    x16 = np.repeat(served_run["raw"][:2], 8, axis=0)
+    mu_dev = dp._jit_encode_raw(dp.manager.state.params, x16)
+    assert len(mu_dev.sharding.device_set) == n_dev
+
+    raw = served_run["raw"]
+    mu_dp, mu_1 = dp.encode(raw), service.encode(raw)
+    np.testing.assert_allclose(mu_dp, mu_1, rtol=1e-5, atol=1e-6)
+    rec_dp, rec_1 = dp.reconstruct(raw), service.reconstruct(raw)
+    np.testing.assert_allclose(rec_dp["vertices"], rec_1["vertices"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(rec_dp["mean_error_mm"],
+                               rec_1["mean_error_mm"], rtol=1e-4)
+    np.testing.assert_allclose(dp.decode(mu_dp), service.decode(mu_1),
+                               rtol=1e-5, atol=1e-5)
+    # single-mesh request pads to the 8-bucket and trims back
+    rep = dp.diagnose(raw[0])
+    assert rep["label"] == service.diagnose(raw[0])["label"]
+
+    # max_batch must tile the mesh
+    with pytest.raises(ValueError, match="multiple"):
+        DiagnosisService.from_run_dir(served_run["run_dir"],
+                                      max_batch=4, data_parallel=True)
+
+
 def test_batch_diagnose_cli(served_run, service, tmp_path):
     """tools/batch_diagnose.py: a directory of scans → diagnoses.csv with
     labels that match the service's own diagnose path, plus a skipped row

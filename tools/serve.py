@@ -149,6 +149,12 @@ def main(argv=None):
     parser.add_argument("--max_batch", type=int, default=16)
     parser.add_argument("--healthy_class", type=str, default="n")
     parser.add_argument("--no_warmup", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each request's batch axis over ALL "
+                             "visible devices (params replicated) — batch "
+                             "screening throughput scales with the chip "
+                             "mesh; max_batch must be a multiple of the "
+                             "device count")
     parser.add_argument("--platform", type=str, default=None,
                         help="force the jax platform (e.g. cpu); the axon "
                              "TPU plugin ignores JAX_PLATFORMS")
@@ -165,7 +171,8 @@ def main(argv=None):
 
     service = DiagnosisService.from_run_dir(
         run_dir, healthy_class=args.healthy_class,
-        max_batch=args.max_batch, warm=not args.no_warmup)
+        max_batch=args.max_batch, warm=not args.no_warmup,
+        data_parallel=args.data_parallel)
 
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
