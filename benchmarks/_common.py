@@ -108,17 +108,24 @@ def make_matmul_canary(rng: np.random.Generator):
     return matmul_ms
 
 
-def make_flagship_step_timer(rng: np.random.Generator):
+def make_flagship_step_timer(rng: np.random.Generator,
+                             with_context: bool = False):
     """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
     scanned train step (craniofacial.yaml model section incl. the mixed
     compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
-    swap grid) — the same program bench.py's throughput trials measure.
+    swap grid) — THE program behind bench.py's headline and the
+    canary-floor sampler's step floor (single source: the two must
+    measure identically or the floor comparison is meaningless).
     Two scan lengths (10/60 steps), two repeats each; the slope cancels
     the dispatch+fetch round-trip. The train state is carried across
     calls (the scanned step donates its input state buffers, so a frozen
     state cannot be re-fed); step timing is shape-, not value-dependent,
     and Adam at lr 1e-4 on the fixed random dataset stays finite over
-    hours of sampling."""
+    hours of sampling.
+
+    ``with_context=True`` additionally returns {geom, config, params,
+    batch, n_verts} for callers that run further programs on the same
+    flagship model (bench.py's encode/decode latency section)."""
     import os
     import sys
 
@@ -151,6 +158,10 @@ def make_flagship_step_timer(rng: np.random.Generator):
                        .astype(np.float32))
     key = jax.random.PRNGKey(1)
     idx = jnp.asarray(rng.integers(0, n_data, size=(60, batch)), jnp.int32)
+    # snapshot BEFORE the first run: the scanned step donates the state
+    # buffers, so the original params are deleted after the warmup
+    params_ctx = jax.tree_util.tree_map(jnp.copy, params) \
+        if with_context else None
 
     def run(n_steps):
         nonlocal state
@@ -173,6 +184,10 @@ def make_flagship_step_timer(rng: np.random.Generator):
             dt = min(longs) / 60
         return dt * 1e3
 
+    if with_context:
+        return step_ms, {"geom": geom, "config": config,
+                         "params": params_ctx,
+                         "batch": batch, "n_verts": int(n_verts)}
     return step_ms
 
 

@@ -142,25 +142,37 @@ class QDAClassifier:
     def score(self, x, y) -> float:
         return float(np.mean(self.predict(x) == y))
 
+    def _class_index(self, class_idx: int) -> int:
+        """Position of a fitted class label in ``self.classes`` — loud on
+        a label the head never saw (e.g. 'b' merged into 'n' upstream)."""
+        hits = np.where(self.classes == class_idx)[0]
+        if len(hits) == 0:
+            raise ValueError(
+                f"class index {class_idx} was not among the QDA's fitted "
+                f"classes {list(self.classes)}")
+        return int(hits[0])
+
+    def class_covariance(self, class_idx: int):
+        """(mean, covariance) of the fitted class Gaussian. Rebuilds the
+        covariance from its R·diag(S2)·Rᵀ factorization when the head was
+        imported from a ``store_covariance=False`` sklearn pickle."""
+        i = self._class_index(class_idx)
+        if self.covs is not None:
+            return np.asarray(self.means[i]), np.asarray(self.covs[i])
+        self._ensure_factors()
+        r, s = self.rotations[i], self.scalings[i]
+        return np.asarray(self.means[i]), (r * s) @ r.T
+
     def sample(self, class_idx: int, n: int = 1, seed: int = 0):
         """Draw from the fitted class Gaussian (reference mm.py:509-514)."""
-        i = int(np.where(self.classes == class_idx)[0][0])
-        rng = np.random.default_rng(seed)
-        if self.covs is None:
-            # store_covariance=False pickle import: rebuild the class
-            # covariance from its factorization R·diag(S2)·Rᵀ
-            self._ensure_factors()
-            r, s = self.rotations[i], self.scalings[i]
-            cov = (r * s) @ r.T
-        else:
-            cov = self.covs[i]
-        return rng.multivariate_normal(self.means[i], cov, n)
+        mean, cov = self.class_covariance(class_idx)
+        return np.random.default_rng(seed).multivariate_normal(mean, cov, n)
 
     def mahalanobis(self, z, class_idx: int) -> float:
         """Mahalanobis distance of z to the class Gaussian
         (reference mm.py:516-529)."""
         self._ensure_factors()
-        i = int(np.where(self.classes == class_idx)[0][0])
+        i = self._class_index(class_idx)
         diff = np.asarray(z).reshape(-1) - self.means[i]
         proj = diff @ self.rotations[i]
         return float(np.sqrt(np.sum(proj ** 2 / self.scalings[i])))

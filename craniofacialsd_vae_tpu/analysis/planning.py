@@ -25,23 +25,22 @@ from ..geometry.template import PROCEDURES2ATTRIBUTES
 from .classifiers import QDAClassifier
 
 
+def vector_linspace(start, finish, steps: int) -> np.ndarray:
+    """Row-wise linspace between two vectors → [steps, D]
+    (reference test.py vector_linspace analog)."""
+    start = np.asarray(start).reshape(-1)
+    finish = np.asarray(finish).reshape(-1)
+    t = np.linspace(0.0, 1.0, steps)[:, None]
+    return (start[None] + t * (finish - start)[None]).astype(np.float32)
+
+
 def healthy_gaussian(qda, healthy_class_idx: int):
     """(mean, covariance) of the QDA class Gaussian for a fitted class
-    index. Reconstructs the covariance from the stored factorization when
-    the head was imported from a ``store_covariance=False`` sklearn pickle
-    (rotations/scalings only — reference model_manager.py:492-495 always
-    stores it, but migrated run dirs may not)."""
-    hits = np.where(qda.classes == healthy_class_idx)[0]
-    if len(hits) == 0:
-        raise ValueError(
-            f"class index {healthy_class_idx} was not among the QDA's "
-            f"fitted classes {list(qda.classes)}")
-    i = int(hits[0])
-    if qda.covs is not None:
-        return np.asarray(qda.means[i]), np.asarray(qda.covs[i])
-    qda._ensure_factors()
-    r, s = qda.rotations[i], qda.scalings[i]
-    return np.asarray(qda.means[i]), (r * s) @ r.T
+    index — ``QDAClassifier.class_covariance``, which also handles heads
+    imported from ``store_covariance=False`` sklearn pickles (reference
+    model_manager.py:492-495 always stores it; migrated run dirs may
+    not)."""
+    return qda.class_covariance(healthy_class_idx)
 
 
 def plan_to_healthy(z_p: np.ndarray, mean_h: np.ndarray,
@@ -66,8 +65,15 @@ def plan_to_healthy(z_p: np.ndarray, mean_h: np.ndarray,
         distance to the healthy mean at the 3/2/1-std and mean stops
         (the reference's ``procedure_distances.csv`` rows)
     """
-    from .tester import vector_linspace   # module-level import would cycle
-
+    n_p_to_3std = int(n_p_to_3std)
+    n_linspace = int(n_linspace)
+    if n_p_to_3std < 2:
+        raise ValueError(
+            f"n_p_to_3std must be >= 2, got {n_p_to_3std}: the patient→"
+            "3-std walk must contain both endpoints (its last row is the "
+            "3-std stop the distance table reads)")
+    if n_linspace < 2:
+        raise ValueError(f"n_linspace must be >= 2, got {n_linspace}")
     z_p = np.asarray(z_p, np.float32).reshape(-1)
     mean_h = np.asarray(mean_h)
     cov_h = np.asarray(cov_h)

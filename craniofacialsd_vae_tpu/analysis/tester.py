@@ -43,13 +43,10 @@ TEMPLATE_LANDMARKS_IDX = [14336, 14250, 13087, 13145, 4134,
                           4548, 2893, 2985, 830, 2004]
 
 
-def vector_linspace(start, finish, steps: int) -> np.ndarray:
-    """Row-wise linspace between two vectors → [steps, D]
-    (reference test.py vector_linspace analog)."""
-    start = np.asarray(start).reshape(-1)
-    finish = np.asarray(finish).reshape(-1)
-    t = np.linspace(0.0, 1.0, steps)[:, None]
-    return (start[None] + t * (finish - start)[None]).astype(np.float32)
+# vector_linspace lives in analysis/planning.py (the pure latent-math
+# module shared with the serving path); re-exported here for the
+# historical import path.
+from .planning import vector_linspace  # noqa: E402,F401
 
 
 def compute_latent_stats(manager, output_dir: str, train_iter=None,

@@ -162,6 +162,14 @@ class DiagnosisService:
         self._jit_encode_raw = jax.jit(_encode_raw, **jit_kwargs)
         self._jit_reconstruct_raw = jax.jit(_reconstruct_raw, **jit_kwargs)
         self._jit_decode_raw = jax.jit(_decode_raw, **jit_kwargs)
+        # The service serves a frozen checkpoint: pin the params once in
+        # the layout the jits expect. Under data_parallel this replicates
+        # them across the mesh ONCE — feeding the manager's single-device
+        # arrays would re-transfer the whole network on every request.
+        self._serve_params = manager.state.params
+        if self.n_devices > 1:
+            self._serve_params = jax.device_put(
+                manager.state.params, jit_kwargs["in_shardings"][0])
 
     # ------------------------------------------------------------------
     @classmethod
@@ -218,7 +226,7 @@ class DiagnosisService:
         """Dispatch [B, ...] through fn at bucket-padded static shapes,
         chunking batches above max_batch; returns outputs trimmed to B."""
         b = x.shape[0]
-        params = self.manager.state.params
+        params = self._serve_params
         outs = []
         for lo in range(0, b, self.max_batch):
             chunk = x[lo:lo + self.max_batch]
@@ -269,12 +277,10 @@ class DiagnosisService:
             for size in self.buckets:
                 x = np.zeros((size, n, 3), np.float32)
                 z = np.zeros((size, nz), np.float32)
-                np.asarray(self._jit_encode_raw(self.manager.state.params,
-                                                x))
+                np.asarray(self._jit_encode_raw(self._serve_params, x))
                 [np.asarray(r) for r in
-                 self._jit_reconstruct_raw(self.manager.state.params, x)]
-                np.asarray(self._jit_decode_raw(self.manager.state.params,
-                                                z))
+                 self._jit_reconstruct_raw(self._serve_params, x)]
+                np.asarray(self._jit_decode_raw(self._serve_params, z))
 
     def encode(self, vertices) -> np.ndarray:
         """Raw scan-space [B, N, 3] (or [N, 3]) → latents [B, Z]."""
@@ -401,8 +407,16 @@ class DiagnosisService:
 
     def diagnose_latent(self, z, model: str = "qda") -> dict:
         """Diagnosis report for one latent [Z] (host-side heads only)."""
-        z = np.asarray(z, np.float32).reshape(1, -1)
-        return self._diagnosis_reports(z, model, include_latent=False)[0]
+        return self.diagnose_latents(
+            np.asarray(z, np.float32).reshape(1, -1), model=model)[0]
+
+    def diagnose_latents(self, z, model: str = "qda") -> list:
+        """Diagnosis reports for latents [B, Z] — one batched head call
+        (the MLP head dispatches device work; per-row loops would pay a
+        dispatch per latent)."""
+        z = np.asarray(z, np.float32)
+        return self._diagnosis_reports(z.reshape(len(z), -1), model,
+                                       include_latent=False)
 
     def plan(self, vertices=None, latent=None, n_p_to_3std: int = 8,
              n_linspace: int = 5000, model: str = "qda",
@@ -421,13 +435,20 @@ class DiagnosisService:
         frames via /decode."""
         from .analysis.planning import healthy_gaussian, plan_to_healthy
 
+        t0 = time.perf_counter()
         if (vertices is None) == (latent is None):
             raise ValueError("pass exactly one of vertices / latent")
         if vertices is not None:
             x, single = self._as_batch(vertices)
             if not single and x.shape[0] != 1:
                 raise ValueError("plan() takes ONE patient mesh")
-            z_p = np.asarray(self.encode(x[0]), np.float32)
+            # internal dispatch (not self.encode): the whole plan request
+            # is observed ONCE at the end — public sub-calls would count
+            # it 3x in the request stats
+            with self._lock:
+                z_p = np.asarray(
+                    self._run_bucketed(self._jit_encode_raw, x)[0],
+                    np.float32)
         else:
             z_p = np.asarray(latent, np.float32).reshape(-1)
             nz = self.manager.model_latent_size
@@ -441,7 +462,6 @@ class DiagnosisService:
                 f"run's classes {sorted(mgr._class2idx_dict)}")
         mean_h, cov_h = healthy_gaussian(
             mgr.classifiers.qda, mgr.class2idx(self.healthy_class))
-        t0 = time.perf_counter()
         result = plan_to_healthy(z_p, mean_h, cov_h, mgr.latent_regions,
                                  n_p_to_3std=int(n_p_to_3std),
                                  n_linspace=int(n_linspace))
@@ -460,7 +480,8 @@ class DiagnosisService:
         if decode_key_meshes:
             keys = ["z_3std", "z_2std", "z_1std", "z_mean_target"]
             zs = np.stack([np.asarray(out[k], np.float32) for k in keys])
-            meshes = self.decode(zs)            # one bucketed dispatch
+            with self._lock:            # one bucketed dispatch
+                meshes = self._run_bucketed(self._jit_decode_raw, zs)
             out["target_meshes"] = {k[2:]: meshes[i]
                                     for i, k in enumerate(keys)}
         with self._lock:                 # _observe mutates shared state

@@ -151,9 +151,8 @@ def main():
 
     # -- 5. surgical-planning interpolation -------------------------------
     sick = [i for i, n in enumerate(names) if n[0] in "acm"][0]
-    n_cls_idx = manager.class2idx("n")
-    i_h = int(np.where(zoo.qda.classes == n_cls_idx)[0][0])
-    z_interp = vector_linspace(z[sick], zoo.qda.means[i_h], 11)
+    mean_h, _ = zoo.qda.class_covariance(manager.class2idx("n"))
+    z_interp = vector_linspace(z[sick], mean_h, 11)
     gen = np.asarray(manager.generate(z_interp)) * std + mean
     imgs = render_batch(gen, manager.template.face)
     imageio.imwrite(

@@ -308,8 +308,11 @@ def test_data_parallel_service_parity(served_run, service):
     # the compiled program really spans the mesh: the on-device output
     # of a full 16-bucket lives on all 8 devices
     x16 = np.repeat(served_run["raw"][:2], 8, axis=0)
-    mu_dev = dp._jit_encode_raw(dp.manager.state.params, x16)
+    mu_dev = dp._jit_encode_raw(dp._serve_params, x16)
     assert len(mu_dev.sharding.device_set) == n_dev
+    # the pinned params were replicated across the mesh ONCE at init
+    leaf = jax.tree_util.tree_leaves(dp._serve_params)[0]
+    assert len(leaf.sharding.device_set) == n_dev
 
     raw = served_run["raw"]
     mu_dp, mu_1 = dp.encode(raw), service.encode(raw)

@@ -106,8 +106,8 @@ def main(argv=None):
     if loaded:
         batch = np.stack([v for _, v in loaded])
         rec = service.reconstruct(batch)      # bucketed chunked dispatch
-        reports = [service.diagnose_latent(z, model=args.model)
-                   for z in rec["latent"]]
+        reports = service.diagnose_latents(rec["latent"],
+                                           model=args.model)
         for i, (name, _) in enumerate(loaded):
             rep = reports[i]
             row = {"file": name, "label": rep["label"],
