@@ -58,6 +58,17 @@ def make_stream_canary(rng: np.random.Generator):
 # isolated ELL-style gather-sum over a [17039, 48] table, quiet v5e
 GATHER_QUIET_MS = 1.4
 
+# The FLOAT32-formulation flagship step on a quiet chip: 8.4 ms measured
+# directly in round-2 quiet windows (matmul canary at its 2.1 ms floor),
+# divided by the capped-ELL interleaved-A/B gain (1.085×) shipped since.
+# This is the best available *step-regime* contention denominator: the
+# fp32 step exercises exactly the HBM row-gather pattern the production
+# step is bound by, which the matmul/stream canaries demonstrably do NOT
+# track (observed 2026-08-18: fp32 step steady at 27 ms ⇒ regime ~3.5×
+# degraded while matmul read 2.1× and the stream canary sat at its
+# measured floor).
+FP32_STEP_QUIET_MS = 7.74
+
 
 def make_ell_gather_canary(rng: np.random.Generator, n_rows: int = 17039):
     """Return `gather_ms()`: mean wall ms of thirty 16-way gather-sums
@@ -109,7 +120,8 @@ def make_matmul_canary(rng: np.random.Generator):
 
 
 def make_flagship_step_timer(rng: np.random.Generator,
-                             with_context: bool = False):
+                             with_context: bool = False,
+                             compute_dtype: str | None = None):
     """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
     scanned train step (craniofacial.yaml model section incl. the mixed
     compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
@@ -125,7 +137,10 @@ def make_flagship_step_timer(rng: np.random.Generator,
 
     ``with_context=True`` additionally returns {geom, config, params,
     batch, n_verts} for callers that run further programs on the same
-    flagship model (bench.py's encode/decode latency section)."""
+    flagship model (bench.py's encode/decode latency section).
+    ``compute_dtype`` overrides the shipped activation policy — e.g.
+    ``"float32"`` builds the fp32-formulation step used as the
+    step-regime contention canary (FP32_STEP_QUIET_MS)."""
     import os
     import sys
 
@@ -145,6 +160,9 @@ def make_flagship_step_timer(rng: np.random.Generator,
 
     geom = _flagship_geometry()
     config = flagship_sdvae_config(repo)
+    if compute_dtype is not None:
+        import dataclasses
+        config = dataclasses.replace(config, compute_dtype=compute_dtype)
     params = init_sdvae(jax.random.PRNGKey(0), config, geom)
     opt = optax.adamw(1e-4, weight_decay=0.0)
     state = create_train_state(params, opt)
