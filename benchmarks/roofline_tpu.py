@@ -149,24 +149,37 @@ def main():
           + f" = {total_rows:,} total")
 
     # ---- wait for a quiet window --------------------------------------
-    # Rates and the step must be measured in the SAME contention regime;
-    # the matmul canary (same program bench.py compiles — cache hit)
-    # gates the measurements. Without a quiet window the ratio is still
-    # reported, flagged with the residual factor.
-    from benchmarks._common import (MATMUL_QUIET_MS, chained_gather_rate,
+    # Rates and the step must be measured in the SAME contention regime.
+    # Gate on the fp32-STEP canary, not just the matmul canary: the
+    # chip's plateau episodes hit the row-gather regime ~3.5× while the
+    # matmul reads 1.5-2× (docs/PERFORMANCE.md "The contention plateau"),
+    # and the row rates this tool prices the bound with live in exactly
+    # that regime — a snapshot taken inside a plateau understates the
+    # bound by the plateau factor. Without a quiet window the ratio is
+    # still reported, flagged with both residual factors.
+    from benchmarks._common import (FP32_STEP_QUIET_MS, MATMUL_QUIET_MS,
+                                    chained_gather_rate,
+                                    make_flagship_step_timer,
                                     make_matmul_canary)
     matmul_ms = make_matmul_canary(rng)
+    fp32_step_ms_fn = make_flagship_step_timer(rng,
+                                               compute_dtype="float32")
     # local 4096² operand for the bf16-matmul and stream-rate floors below
     # (the canary's own array lives inside its closure)
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
 
     factor = matmul_ms() / MATMUL_QUIET_MS
+    step_factor = fp32_step_ms_fn() / FP32_STEP_QUIET_MS
     t_wait = time.perf_counter()
-    while factor > 1.25 and time.perf_counter() - t_wait < 420:
-        print(f"  [contention {factor:.2f}x — waiting 20s]")
+    while (factor > 1.25 or step_factor > 1.3) \
+            and time.perf_counter() - t_wait < 420:
+        print(f"  [contention: step-regime {step_factor:.2f}x, matmul "
+              f"{factor:.2f}x — waiting 20s]")
         time.sleep(20)
         factor = matmul_ms() / MATMUL_QUIET_MS
-    print(f"  measuring at contention factor {factor:.2f}x")
+        step_factor = fp32_step_ms_fn() / FP32_STEP_QUIET_MS
+    print(f"  measuring at step-regime factor {step_factor:.2f}x "
+          f"(matmul {factor:.2f}x)")
 
     # ---- measured row rates at the step's widths ----------------------
     # Rates must be measured with the step's REAL index patterns: spiral
@@ -343,6 +356,7 @@ def main():
                 "measured_step_ms": round(full_ms, 2),
                 "pct_of_wall": round(pct, 1),
                 "contention_factor_at_measure": round(factor, 2),
+                "step_regime_factor_at_measure": round(step_factor, 2),
             }, f, indent=1)
 
 
