@@ -286,6 +286,12 @@ def test_plan_matches_tester(served_run, service, tmp_path):
         service.plan(vertices=raw[0], latent=ref["z_patient"])
     with pytest.raises(ValueError, match="ONE patient"):
         service.plan(vertices=raw[:2])
+    # degenerate walk params are a clear client error, not a silently
+    # wrong distance table (d3 would equal dm at n_p_to_3std=0)
+    with pytest.raises(ValueError, match="n_p_to_3std"):
+        service.plan(latent=ref["z_patient"], n_p_to_3std=0)
+    with pytest.raises(ValueError, match="n_linspace"):
+        service.plan(latent=ref["z_patient"], n_linspace=1)
 
 
 def test_data_parallel_service_parity(served_run, service):
