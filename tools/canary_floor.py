@@ -50,7 +50,19 @@ def main(argv=None):
                         "minimum is the MEASURED quiet step floor that the "
                         "roofline comparison needs (the bench headline "
                         "extrapolates it from contended windows otherwise)")
+    parser.add_argument("--on_quiet", type=str, default=None,
+                        help="shell command to run (bounded 30 min) when a "
+                        "sample shows the step regime genuinely quiet "
+                        "(fp32 step within --quiet_threshold of its "
+                        "measured floor; requires --step) — the moment to "
+                        "capture quiet-chip artifacts (roofline snapshot, "
+                        "bench) that plateau weeks make unobtainable")
+    parser.add_argument("--quiet_threshold", type=float, default=1.3)
+    parser.add_argument("--on_quiet_cooldown_s", type=float, default=7200.0)
     args = parser.parse_args(argv)
+    if args.on_quiet and not args.step:
+        parser.error("--on_quiet requires --step (the fp32 step sample "
+                     "is the quiet detector)")
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
     jax = setup_jax()
@@ -90,6 +102,7 @@ def main(argv=None):
     # claim "the step's quiet floor is X ms" needs the concurrent canaries
     # to show the window really was quiet
     n = 0
+    last_quiet_run = 0.0        # --on_quiet cooldown anchor
     sampled_s = 0.0             # accumulated across resumed sessions
     t_start = time.time()
     t_end = t_start + args.hours * 3600
@@ -147,6 +160,29 @@ def main(argv=None):
             out["best_step_sample"] = best_step_sample
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
+        # quiet-window opportunist: the plateau can last whole sessions,
+        # so when the step regime IS quiet, immediately capture the
+        # artifacts that need a quiet chip (see --on_quiet)
+        if args.on_quiet and "step_fp32_ms" in sample \
+                and sample["step_fp32_ms"] / FP32_STEP_QUIET_MS \
+                <= args.quiet_threshold \
+                and time.time() - last_quiet_run > args.on_quiet_cooldown_s:
+            last_quiet_run = time.time()
+            print(f"[floor] QUIET WINDOW (fp32 step "
+                  f"{sample['step_fp32_ms']:.2f} ms ≤ "
+                  f"{args.quiet_threshold}×{FP32_STEP_QUIET_MS}) — "
+                  f"running: {args.on_quiet}", flush=True)
+            import subprocess
+            try:
+                res = subprocess.run(args.on_quiet, shell=True,
+                                     capture_output=True, text=True,
+                                     timeout=1800, cwd=REPO)
+                tail = "\n".join((res.stdout + res.stderr)
+                                 .strip().splitlines()[-6:])
+                print(f"[floor] on_quiet exit {res.returncode}:\n{tail}",
+                      flush=True)
+            except subprocess.TimeoutExpired:
+                print("[floor] on_quiet timed out after 30 min", flush=True)
         time.sleep(args.interval)
 
     print(f"[floor] done: {n} samples, floors "
