@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -102,7 +103,8 @@ def main(argv=None):
     # claim "the step's quiet floor is X ms" needs the concurrent canaries
     # to show the window really was quiet
     n = 0
-    last_quiet_run = 0.0        # --on_quiet cooldown anchor
+    last_quiet_run = None       # --on_quiet cooldown anchor (None =
+    # never ran, so the first quiet window always triggers)
     sampled_s = 0.0             # accumulated across resumed sessions
     t_start = time.time()
     t_end = t_start + args.hours * 3600
@@ -166,13 +168,13 @@ def main(argv=None):
         if args.on_quiet and "step_fp32_ms" in sample \
                 and sample["step_fp32_ms"] / FP32_STEP_QUIET_MS \
                 <= args.quiet_threshold \
-                and time.time() - last_quiet_run > args.on_quiet_cooldown_s:
+                and (last_quiet_run is None or time.time() - last_quiet_run
+                     > args.on_quiet_cooldown_s):
             last_quiet_run = time.time()
             print(f"[floor] QUIET WINDOW (fp32 step "
                   f"{sample['step_fp32_ms']:.2f} ms ≤ "
                   f"{args.quiet_threshold}×{FP32_STEP_QUIET_MS}) — "
                   f"running: {args.on_quiet}", flush=True)
-            import subprocess
             try:
                 res = subprocess.run(args.on_quiet, shell=True,
                                      capture_output=True, text=True,
