@@ -209,6 +209,63 @@ def make_flagship_step_timer(rng: np.random.Generator,
     return step_ms
 
 
+TRIAL_FACTOR_KEYS = ("factor", "stream_factor", "step_factor")
+TRIAL_MS_KEYS = ("matmul_ms", "gather_ms", "stream_ms", "fp32_step_ms")
+
+
+def run_contention_trials(step_ms_fn, canary, grid: int, *,
+                          quiet_threshold: float, budget_s: float,
+                          sleep_s: float, sleep=time.sleep,
+                          clock=time.perf_counter, log=print) -> list:
+    """bench.py's canary-bracketed trial loop, extracted pure so the
+    recording logic is unit-testable. Each trial: canary → slope-timed
+    step → canary. Per-factor value is the MIN of the two brackets
+    (contention must be visible on BOTH sides to claim the trial was
+    slowed — a single noisy bracket around a quiet trial must not
+    inflate it); per-canary ms is the MAX (worst observed, for the
+    audit record). Loops until a window is quiet across ALL regimes or
+    the budget runs out."""
+    trials = []
+    t_start = clock()
+    while True:
+        pre = canary()
+        dt = step_ms_fn() / 1e3
+        post = canary()
+        trial = {"meshes_per_sec": grid / dt}
+        for k in TRIAL_FACTOR_KEYS:
+            trial[k] = min(pre[k], post[k])
+        for k in TRIAL_MS_KEYS:
+            trial[k] = max(pre[k], post[k])
+        trials.append(trial)
+        # a window only counts as quiet when the step's own regime is
+        # quiet too — that is where its HBM-resident gathers live
+        if all(trial[k] <= quiet_threshold for k in TRIAL_FACTOR_KEYS):
+            break
+        if clock() - t_start > budget_s:
+            log(f"[bench] no quiet window within {budget_s:.0f}s "
+                f"({len(trials)} trials); normalizing by the canary")
+            break
+        log(f"[bench] contention: step-regime {trial['step_factor']:.2f}x"
+            f", matmul {trial['factor']:.2f}x — waiting "
+            f"{sleep_s:.0f}s for a quiet window")
+        sleep(sleep_s)
+    return trials
+
+
+def pick_best_trial(trials: list) -> dict:
+    """The trial quietest across ALL regimes — genuinely quiet
+    measurements are preferred over corrected ones."""
+    return min(trials, key=lambda t: max(t[k] for k in TRIAL_FACTOR_KEYS))
+
+
+def quiet_correction(step_factor: float, cap: float) -> float:
+    """Headline normalization factor from the step-regime canary:
+    CONTINUOUS from 1 (no jump at the retry threshold), never below 1
+    (a quiet run stands as measured), capped (a pathological canary
+    reading must not explode the headline)."""
+    return min(max(step_factor, 1.0), cap)
+
+
 def chained_gather_rate(idx, n_src: int, w: int, rng: np.random.Generator,
                         dtype=None) -> float:
     """Rows/s of `jnp.take(src, idx, axis=0)` on a [n_src, w] table of
