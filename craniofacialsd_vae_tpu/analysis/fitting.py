@@ -108,18 +108,25 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
 
     opt = optax.adam(lr)
 
+    # The whole optimization is ONE dispatch: a host loop of per-step
+    # jits pays a tunnel round-trip per iteration (measured 45 s for a
+    # 250-iteration intake request vs ~7 s scanned — same update
+    # sequence, so results are identical). `iterations` is a static scan
+    # length: one compile per distinct value, reused across requests.
     @jax.jit
-    def step(z, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(z)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(z, updates), opt_state, loss
+    def run(z, opt_state):
+        def body(carry, _):
+            z, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(z)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(z, updates), opt_state), loss
+        (z, opt_state), _ = jax.lax.scan(body, (z, opt_state), None,
+                                         length=iterations)
+        # final per-restart losses come back in the same dispatch
+        return z, losses(z)
 
     z = jnp.asarray(z0)
-    opt_state = opt.init(z)
-    for _ in range(iterations):
-        z, opt_state, loss = step(z, opt_state)
-
-    lnd_loss, ch = jax.jit(losses)(z)
+    z, (lnd_loss, ch) = run(z, opt.init(z))
     errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
     best = int(np.argmin(errors))
     z_best = np.asarray(z)[best]
