@@ -76,7 +76,6 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         if z_anchor is None else np.asarray(z_anchor, np.float32)
     z0 = np.concatenate([z0, anchor[None]], axis=0)
 
-    target = jnp.asarray(aligned, jnp.float32)
     target_lnd = jnp.asarray(aligned_lnd, jnp.float32)
     lnd_idx = jnp.asarray(landmarks_idx)
     if norm is not None:
@@ -86,20 +85,36 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         mean_j, std_j = jnp.zeros(3), jnp.ones(3)
 
     from ..models.sdvae import decode, from_vertex_major
-    from ..ops.distances import chamfer_distance as chamfer
+    from ..ops.distances import nearest_dists_sq
 
     params = mgr.state.params
     geom = mgr.geometry
     config = mgr.net_config
+
+    # Bucket the (subsampled) chamfer target to the next power of two:
+    # every patient scan has a different vertex count, and an exact-shape
+    # jit would recompile the whole scanned optimization per request.
+    # Padding duplicates a real point, so the gen→target min is EXACT
+    # (duplicates never introduce new distances); the target→gen
+    # direction divides the masked sum by the true count.
+    t_sub = np.asarray(aligned, np.float32)[::4]
+    q = len(t_sub)
+    q_pad = 1 << (q - 1).bit_length()
+    t_padded = jnp.asarray(np.concatenate(
+        [t_sub, np.broadcast_to(t_sub[:1], (q_pad - q, 3))]))
+    t_mask = jnp.asarray((np.arange(q_pad) < q).astype(np.float32))
+
+    def chamfer_bucketed(g):
+        return jnp.mean(nearest_dists_sq(g, t_padded)) + \
+            jnp.sum(nearest_dists_sq(t_padded, g) * t_mask) / q
 
     def losses(z):
         gen = from_vertex_major(decode(params, geom, config, z))
         gen = gen * std_j + mean_j                    # [R, N, 3]
         lnd_loss = jnp.mean(
             (gen[:, lnd_idx, :] - target_lnd) ** 2, axis=(1, 2))
-        # subsample the scan for the chamfer target (keeps the
-        # pairwise matrix small; full-res available via chunking)
-        ch = jax.vmap(lambda g: chamfer(g[::4], target[::4]))(gen)
+        # gen side subsampled too (template-resolution, static shape)
+        ch = jax.vmap(lambda g: chamfer_bucketed(g[::4]))(gen)
         return lnd_loss, ch
 
     def loss_fn(z):

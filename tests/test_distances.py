@@ -66,3 +66,30 @@ class TestSinkhorn:
         d_diff = float(sinkhorn_divergence(x, y, epsilon=0.01))
         assert d_same < 0.05
         assert d_diff > 1.0  # clouds 2 units apart → OT cost ≈ ‖Δ‖² ≈ 12
+
+
+class TestBucketedChamfer:
+    def test_duplicate_padding_is_exact(self):
+        """fitting.py pads the chamfer target to a power-of-two bucket by
+        duplicating a real point and masking the reverse mean — the value
+        must equal the unpadded symmetric chamfer exactly (duplicates
+        never change a min; the masked sum divides by the true count)."""
+        import jax.numpy as jnp
+
+        from craniofacialsd_vae_tpu.ops.distances import (chamfer_distance,
+                                                          nearest_dists_sq)
+
+        rng = np.random.default_rng(11)
+        g = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        t = np.asarray(rng.normal(size=(41, 3)).astype(np.float32))
+        q = len(t)
+        q_pad = 1 << (q - 1).bit_length()
+        t_padded = jnp.asarray(np.concatenate(
+            [t, np.broadcast_to(t[:1], (q_pad - q, 3))]))
+        mask = jnp.asarray((np.arange(q_pad) < q).astype(np.float32))
+
+        bucketed = float(jnp.mean(nearest_dists_sq(g, t_padded))
+                         + jnp.sum(nearest_dists_sq(t_padded, g) * mask)
+                         / q)
+        exact = float(chamfer_distance(g, jnp.asarray(t)))
+        np.testing.assert_allclose(bucketed, exact, rtol=1e-6)
