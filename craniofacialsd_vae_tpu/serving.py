@@ -282,6 +282,20 @@ class DiagnosisService:
                  self._jit_reconstruct_raw(self._serve_params, x)]
                 np.asarray(self._jit_decode_raw(self._serve_params, z))
 
+    def warmup_fit(self, scan_points: int = 8192 * 4,
+                   iterations: int = 250, n_restarts: int = 16):
+        """Compile the fit-intake program up front: the scanned latent
+        optimization is the service's largest compile (minutes through a
+        remote compile helper), and fit_latent buckets the chamfer
+        target to powers of two — warming one bucket serves every scan
+        whose subsampled size lands in it. Runs one full fit against a
+        template-derived fake scan (result discarded)."""
+        tpl = np.asarray(self.manager.template.pos, np.float32)
+        rng = np.random.default_rng(0)
+        scan = tpl[rng.integers(0, len(tpl), size=int(scan_points))]
+        self.fit(scan, tpl[self.landmark_idx],
+                 iterations=int(iterations), n_restarts=int(n_restarts))
+
     def encode(self, vertices) -> np.ndarray:
         """Raw scan-space [B, N, 3] (or [N, 3]) → latents [B, Z]."""
         t0 = time.perf_counter()

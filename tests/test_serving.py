@@ -231,6 +231,15 @@ def test_fit_unregistered_scan(served_run, service):
         service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
 
 
+def test_warmup_fit(served_run, service):
+    """warmup_fit compiles+runs the fit program against a fake
+    template-derived scan; a real fit afterwards still works and lands
+    in the same bucket path."""
+    before = service.stats()["requests"]
+    service.warmup_fit(scan_points=200, iterations=2, n_restarts=2)
+    assert service.stats()["requests"] == before + 1
+
+
 def test_plan_matches_tester(served_run, service, tmp_path):
     """service.plan == Tester.interpolate_syndrome_to_normal on the same
     patient: identical crossing latents and procedure-distance table when

@@ -149,6 +149,11 @@ def main(argv=None):
     parser.add_argument("--max_batch", type=int, default=16)
     parser.add_argument("--healthy_class", type=str, default="n")
     parser.add_argument("--no_warmup", action="store_true")
+    parser.add_argument("--warm_fit", action="store_true",
+                        help="also compile the fit-intake program at "
+                             "startup (the service's largest compile — "
+                             "minutes on a cold cache; one bucket serves "
+                             "every scan size that subsamples into it)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each request's batch axis over ALL "
                              "visible devices (params replicated) — batch "
@@ -173,6 +178,11 @@ def main(argv=None):
         run_dir, healthy_class=args.healthy_class,
         max_batch=args.max_batch, warm=not args.no_warmup,
         data_parallel=args.data_parallel)
+    if args.warm_fit:
+        import time as _time
+        t0 = _time.time()
+        service.warmup_fit()
+        print(f"fit program warm ({_time.time() - t0:.0f}s)", flush=True)
 
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
