@@ -85,7 +85,7 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         mean_j, std_j = jnp.zeros(3), jnp.ones(3)
 
     from ..models.sdvae import decode, from_vertex_major
-    from ..ops.distances import nearest_dists_sq
+    from ..ops.distances import nearest_dists_sq_sym
 
     params = mgr.state.params
     geom = mgr.geometry
@@ -105,8 +105,8 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
     t_mask = jnp.asarray((np.arange(q_pad) < q).astype(np.float32))
 
     def chamfer_bucketed(g):
-        return jnp.mean(nearest_dists_sq(g, t_padded)) + \
-            jnp.sum(nearest_dists_sq(t_padded, g) * t_mask) / q
+        d_g, d_t = nearest_dists_sq_sym(g, t_padded)
+        return jnp.mean(d_g) + jnp.sum(d_t * t_mask) / q
 
     def losses(z):
         gen = from_vertex_major(decode(params, geom, config, z))
