@@ -51,7 +51,7 @@ def procrustes_align(scan: np.ndarray, landmarks: np.ndarray,
 def fit_latent(manager, norm: dict | None, scan: np.ndarray,
                landmarks: np.ndarray, landmarks_idx, *, lr: float = 5e-3,
                iterations: int = 250, n_restarts: int = 16, seed: int = 0,
-               z_anchor: np.ndarray | None = None) -> dict:
+               z_anchor: np.ndarray | None = None, mesh=None) -> dict:
     """Fit a latent to an unregistered scan.
 
     scan: [M, 3] raw vertices (any M); landmarks: [K, 3] picked on the
@@ -61,6 +61,12 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
     means, reference test.py:381-389; serving has no dataset and anchors
     at the VAE prior mean, zeros). Returns {z, vertices (raw scan space),
     chamfer_mm2, landmark_mse_mm2, aligned_scan}.
+
+    ``mesh``: an optional 1-axis `jax.sharding.Mesh` — the restarts are
+    independent, so they shard embarrassingly across it (n_restarts
+    rounds up to a mesh multiple; the extra restarts only add
+    candidates). Restart→device placement changes nothing numerically:
+    each restart's trajectory is independent of the others.
     """
     import optax
 
@@ -69,6 +75,9 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
     aligned, aligned_lnd = procrustes_align(
         scan, landmarks, mgr.template.pos[landmarks_idx])
 
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_restarts = -(-n_restarts // n_dev) * n_dev   # round up to mesh
     rng = np.random.default_rng(seed)
     z0 = rng.standard_normal(
         (n_restarts - 1, mgr.model_latent_size)).astype(np.float32)
@@ -141,6 +150,13 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         return z, losses(z)
 
     z = jnp.asarray(z0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        # committed placement: jit propagates the restart sharding
+        # through the whole scanned optimization (params broadcast once
+        # per request — amortized over the single dispatch)
+        z = jax.device_put(
+            z, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])))
     z, (lnd_loss, ch) = run(z, opt.init(z))
     errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
     best = int(np.argmin(errors))

@@ -131,9 +131,11 @@ class DiagnosisService:
         to_mm = float(manager.to_mm_const)
 
         jit_kwargs = {}
+        self._mesh = None
         if self.n_devices > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             mesh = Mesh(np.array(jax.devices()), ("data",))
+            self._mesh = mesh
             # params replicated, request batch split along axis 0; every
             # bucket size is a multiple of the mesh, so shards are even
             jit_kwargs["in_shardings"] = (
@@ -408,9 +410,12 @@ class DiagnosisService:
                 f"template landmark set; got {lnd.shape}")
         t0 = time.perf_counter()
         with self._lock:
+            # under data_parallel the independent restarts shard across
+            # the mesh (fit latency divides by the device count)
             result = fit_latent(self.manager, self.normalization, x, lnd,
                                 lnd_idx, lr=lr, iterations=int(iterations),
-                                n_restarts=int(n_restarts), seed=int(seed))
+                                n_restarts=int(n_restarts), seed=int(seed),
+                                mesh=self._mesh)
             self._observe(1, t0)
         report = self.diagnose_latent(result["z"], model=model)
         return {"z": result["z"], "vertices": result["vertices"],

@@ -343,6 +343,23 @@ def test_data_parallel_service_parity(served_run, service):
     rep = dp.diagnose(raw[0])
     assert rep["label"] == service.diagnose(raw[0])["label"]
 
+    # fit: restarts shard across the mesh; same seeds → same candidate
+    # trajectories → the same best restart as the single-device path
+    tpl = np.asarray(dp.manager.template.pos, np.float32)
+    n = len(tpl)
+    dp.landmark_idx = service.landmark_idx = \
+        list(range(0, n, max(n // 6, 1)))[:6]
+    scan = tpl[::2] + 0.01
+    lnd = tpl[dp.landmark_idx]
+    f_dp = dp.fit(scan, lnd, iterations=3, n_restarts=8)
+    f_1 = service.fit(scan, lnd, iterations=3, n_restarts=8)
+    np.testing.assert_allclose(f_dp["z"], f_1["z"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(f_dp["chamfer_mm2"], f_1["chamfer_mm2"],
+                               rtol=1e-4)
+    # non-mesh-multiple restart counts round up instead of failing
+    f_round = dp.fit(scan, lnd, iterations=2, n_restarts=5)
+    assert f_round["z"].shape == f_1["z"].shape
+
     # max_batch must tile the mesh
     with pytest.raises(ValueError, match="multiple"):
         DiagnosisService.from_run_dir(served_run["run_dir"],
