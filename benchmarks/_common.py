@@ -209,22 +209,22 @@ def make_flagship_step_timer(rng: np.random.Generator,
     return step_ms
 
 
-TRIAL_FACTOR_KEYS = ("factor", "stream_factor", "step_factor")
-TRIAL_MS_KEYS = ("matmul_ms", "gather_ms", "stream_ms", "fp32_step_ms")
-
-
 def run_contention_trials(step_ms_fn, canary, grid: int, *,
                           quiet_threshold: float, budget_s: float,
-                          sleep_s: float, sleep=time.sleep,
+                          sleep_s: float, exit_keys=None, sleep=time.sleep,
                           clock=time.perf_counter, log=print) -> list:
     """bench.py's canary-bracketed trial loop, extracted pure so the
     recording logic is unit-testable. Each trial: canary → slope-timed
-    step → canary. Per-factor value is the MIN of the two brackets
+    step → canary. Per-``*factor`` value is the MIN of the two brackets
     (contention must be visible on BOTH sides to claim the trial was
     slowed — a single noisy bracket around a quiet trial must not
-    inflate it); per-canary ms is the MAX (worst observed, for the
-    audit record). Loops until a window is quiet across ALL regimes or
-    the budget runs out."""
+    inflate it); per-``*_ms`` canary value is the MAX (worst observed,
+    for the audit record). Loops until a window is quiet across the
+    ``exit_keys`` factors (default: every ``*factor`` the canary
+    reports) or the budget runs out. NB the exit gate should compare
+    against floors this chip has actually been OBSERVED to reach —
+    gating on an aspirational floor makes the exit unreachable and
+    burns the whole budget on every run."""
     trials = []
     t_start = clock()
     while True:
@@ -232,30 +232,32 @@ def run_contention_trials(step_ms_fn, canary, grid: int, *,
         dt = step_ms_fn() / 1e3
         post = canary()
         trial = {"meshes_per_sec": grid / dt}
-        for k in TRIAL_FACTOR_KEYS:
-            trial[k] = min(pre[k], post[k])
-        for k in TRIAL_MS_KEYS:
-            trial[k] = max(pre[k], post[k])
+        for k in pre:
+            if k.endswith("factor"):
+                trial[k] = min(pre[k], post[k])
+            elif k.endswith("_ms"):
+                trial[k] = max(pre[k], post[k])
         trials.append(trial)
-        # a window only counts as quiet when the step's own regime is
-        # quiet too — that is where its HBM-resident gathers live
-        if all(trial[k] <= quiet_threshold for k in TRIAL_FACTOR_KEYS):
+        keys = list(exit_keys) if exit_keys else \
+            [k for k in trial if k.endswith("factor")]
+        if all(trial[k] <= quiet_threshold for k in keys):
             break
         if clock() - t_start > budget_s:
             log(f"[bench] no quiet window within {budget_s:.0f}s "
                 f"({len(trials)} trials); normalizing by the canary")
             break
-        log(f"[bench] contention: step-regime {trial['step_factor']:.2f}x"
-            f", matmul {trial['factor']:.2f}x — waiting "
-            f"{sleep_s:.0f}s for a quiet window")
+        log("[bench] contention: "
+            + ", ".join(f"{k} {trial[k]:.2f}x" for k in keys)
+            + f" — waiting {sleep_s:.0f}s for a quiet window")
         sleep(sleep_s)
     return trials
 
 
 def pick_best_trial(trials: list) -> dict:
-    """The trial quietest across ALL regimes — genuinely quiet
+    """The trial quietest across ALL reported regimes — genuinely quiet
     measurements are preferred over corrected ones."""
-    return min(trials, key=lambda t: max(t[k] for k in TRIAL_FACTOR_KEYS))
+    return min(trials, key=lambda t: max(v for k, v in t.items()
+                                         if k.endswith("factor")))
 
 
 def quiet_correction(step_factor: float, cap: float) -> float:

@@ -48,6 +48,69 @@ def procrustes_align(scan: np.ndarray, landmarks: np.ndarray,
     return aligned, aligned_lnd
 
 
+# Jitted scanned-optimization programs, keyed per (manager identity, lr,
+# iterations). Everything request-specific — params, restart latents,
+# bucketed chamfer target/mask/count, landmarks, normalization — enters
+# as ARGUMENTS, so requests that share shapes share the compiled program
+# exactly (closure-captured arrays would embed per-request constants in
+# the module and defeat both the in-process and persistent compile
+# caches). Params are an argument too: a manager that resumes new
+# weights keeps using the same program.
+_FIT_RUN_CACHE: dict = {}
+
+
+def _get_fit_run(mgr, lr: float, iterations: int):
+    key = (id(mgr), lr, iterations)
+    run = _FIT_RUN_CACHE.get(key)
+    if run is not None:
+        return run
+    import optax
+
+    from ..models.sdvae import decode, from_vertex_major
+    from ..ops.distances import nearest_dists_sq_sym
+
+    geom, config = mgr.geometry, mgr.net_config
+    opt = optax.adam(lr)
+
+    def losses(params, z, c):
+        gen = from_vertex_major(decode(params, geom, config, z))
+        gen = gen * c["std"] + c["mean"]              # [R, N, 3]
+        lnd_loss = jnp.mean(
+            (gen[:, c["lnd_idx"], :] - c["target_lnd"]) ** 2, axis=(1, 2))
+
+        def chamfer_bucketed(g):                      # gen side at [::4]
+            d_g, d_t = nearest_dists_sq_sym(g, c["t_padded"])
+            return jnp.mean(d_g) + jnp.sum(d_t * c["t_mask"]) / c["q"]
+
+        ch = jax.vmap(lambda g: chamfer_bucketed(g[::4]))(gen)
+        return lnd_loss, ch
+
+    def loss_fn(params, z, c):
+        lnd_loss, ch = losses(params, z, c)
+        return jnp.sum(10.0 * lnd_loss + ch)
+
+    # The whole optimization is ONE dispatch: a host loop of per-step
+    # jits pays a tunnel round-trip per iteration (measured 45 s for a
+    # 250-iteration intake request vs scanned — same update sequence, so
+    # results are identical). `iterations` is a static scan length.
+    @jax.jit
+    def run(params, z, opt_state, c):
+        def body(carry, _):
+            z, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn, argnums=1)(
+                params, z, c)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(z, updates), opt_state), loss
+
+        (z, opt_state), _ = jax.lax.scan(body, (z, opt_state), None,
+                                         length=iterations)
+        # final per-restart losses come back in the same dispatch
+        return z, losses(params, z, c)
+
+    _FIT_RUN_CACHE[key] = run
+    return run
+
+
 def fit_latent(manager, norm: dict | None, scan: np.ndarray,
                landmarks: np.ndarray, landmarks_idx, *, lr: float = 5e-3,
                iterations: int = 250, n_restarts: int = 16, seed: int = 0,
@@ -85,70 +148,29 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         if z_anchor is None else np.asarray(z_anchor, np.float32)
     z0 = np.concatenate([z0, anchor[None]], axis=0)
 
-    target_lnd = jnp.asarray(aligned_lnd, jnp.float32)
-    lnd_idx = jnp.asarray(landmarks_idx)
-    if norm is not None:
-        mean_j = jnp.asarray(norm["mean"])
-        std_j = jnp.asarray(norm["std"])
-    else:
-        mean_j, std_j = jnp.zeros(3), jnp.ones(3)
-
-    from ..models.sdvae import decode, from_vertex_major
-    from ..ops.distances import nearest_dists_sq_sym
-
-    params = mgr.state.params
-    geom = mgr.geometry
-    config = mgr.net_config
-
     # Bucket the (subsampled) chamfer target to the next power of two:
     # every patient scan has a different vertex count, and an exact-shape
-    # jit would recompile the whole scanned optimization per request.
+    # program would recompile the whole scanned optimization per request.
     # Padding duplicates a real point, so the gen→target min is EXACT
     # (duplicates never introduce new distances); the target→gen
     # direction divides the masked sum by the true count.
     t_sub = np.asarray(aligned, np.float32)[::4]
     q = len(t_sub)
     q_pad = 1 << (q - 1).bit_length()
-    t_padded = jnp.asarray(np.concatenate(
-        [t_sub, np.broadcast_to(t_sub[:1], (q_pad - q, 3))]))
-    t_mask = jnp.asarray((np.arange(q_pad) < q).astype(np.float32))
+    consts = {
+        "t_padded": jnp.asarray(np.concatenate(
+            [t_sub, np.broadcast_to(t_sub[:1], (q_pad - q, 3))])),
+        "t_mask": jnp.asarray((np.arange(q_pad) < q).astype(np.float32)),
+        "q": jnp.float32(q),
+        "target_lnd": jnp.asarray(aligned_lnd, jnp.float32),
+        "lnd_idx": jnp.asarray(landmarks_idx, jnp.int32),
+        "mean": jnp.asarray(norm["mean"], jnp.float32)
+            if norm is not None else jnp.zeros(3),
+        "std": jnp.asarray(norm["std"], jnp.float32)
+            if norm is not None else jnp.ones(3),
+    }
 
-    def chamfer_bucketed(g):
-        d_g, d_t = nearest_dists_sq_sym(g, t_padded)
-        return jnp.mean(d_g) + jnp.sum(d_t * t_mask) / q
-
-    def losses(z):
-        gen = from_vertex_major(decode(params, geom, config, z))
-        gen = gen * std_j + mean_j                    # [R, N, 3]
-        lnd_loss = jnp.mean(
-            (gen[:, lnd_idx, :] - target_lnd) ** 2, axis=(1, 2))
-        # gen side subsampled too (template-resolution, static shape)
-        ch = jax.vmap(lambda g: chamfer_bucketed(g[::4]))(gen)
-        return lnd_loss, ch
-
-    def loss_fn(z):
-        lnd_loss, ch = losses(z)
-        return jnp.sum(10.0 * lnd_loss + ch)
-
-    opt = optax.adam(lr)
-
-    # The whole optimization is ONE dispatch: a host loop of per-step
-    # jits pays a tunnel round-trip per iteration (measured 45 s for a
-    # 250-iteration intake request vs ~7 s scanned — same update
-    # sequence, so results are identical). `iterations` is a static scan
-    # length: one compile per distinct value, reused across requests.
-    @jax.jit
-    def run(z, opt_state):
-        def body(carry, _):
-            z, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(z)
-            updates, opt_state = opt.update(grads, opt_state)
-            return (optax.apply_updates(z, updates), opt_state), loss
-        (z, opt_state), _ = jax.lax.scan(body, (z, opt_state), None,
-                                         length=iterations)
-        # final per-restart losses come back in the same dispatch
-        return z, losses(z)
-
+    run = _get_fit_run(mgr, float(lr), int(iterations))
     z = jnp.asarray(z0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -157,7 +179,8 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
         # per request — amortized over the single dispatch)
         z = jax.device_put(
             z, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])))
-    z, (lnd_loss, ch) = run(z, opt.init(z))
+    opt = optax.adam(lr)
+    z, (lnd_loss, ch) = run(mgr.state.params, z, opt.init(z), consts)
     errors = 10.0 * np.asarray(lnd_loss) + np.asarray(ch)
     best = int(np.argmin(errors))
     z_best = np.asarray(z)[best]

@@ -291,12 +291,20 @@ class DiagnosisService:
         remote compile helper), and fit_latent buckets the chamfer
         target to powers of two — warming one bucket serves every scan
         whose subsampled size lands in it. Runs one full fit against a
-        template-derived fake scan (result discarded)."""
+        template-derived fake scan (result discarded). Like warmup(),
+        it does NOT count toward request stats — a multi-minute warmup
+        latency sample would dominate p50/p95 until real traffic
+        dilutes it."""
         tpl = np.asarray(self.manager.template.pos, np.float32)
         rng = np.random.default_rng(0)
         scan = tpl[rng.integers(0, len(tpl), size=int(scan_points))]
         self.fit(scan, tpl[self.landmark_idx],
                  iterations=int(iterations), n_restarts=int(n_restarts))
+        with self._lock:                # undo the warmup's observation
+            self.n_requests -= 1
+            self.n_meshes -= 1
+            if self._latency_ms:
+                self._latency_ms.pop()
 
     def encode(self, vertices) -> np.ndarray:
         """Raw scan-space [B, N, 3] (or [N, 3]) → latents [B, Z]."""

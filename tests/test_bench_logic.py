@@ -13,8 +13,8 @@ import itertools
 
 import pytest
 
-from benchmarks._common import (TRIAL_FACTOR_KEYS, pick_best_trial,
-                                quiet_correction, run_contention_trials)
+from benchmarks._common import (pick_best_trial, quiet_correction,
+                                run_contention_trials)
 
 
 def _canary_seq(factors):
@@ -98,6 +98,27 @@ def test_correction_continuous_floored_and_capped():
     assert quiet_correction(17.0, 4.0) == 4.0    # pathological: capped
 
 
-def test_trial_records_all_factor_keys():
+def test_trial_records_all_canary_keys():
     trials, _ = _run([1.0, 1.0])
-    assert set(TRIAL_FACTOR_KEYS) <= set(trials[0])
+    assert {"factor", "stream_factor", "step_factor",
+            "matmul_ms", "fp32_step_ms"} <= set(trials[0])
+
+
+def test_exit_keys_override():
+    """bench gates the EXIT on the observed-floor step factor while the
+    correction uses the anchored factor: a window quiet relative to the
+    observed floor exits even though the anchored factor is huge."""
+    it = iter([3.5, 3.5])
+
+    def canary():
+        f = next(it)
+        return {"factor": 1.0, "stream_factor": 1.0, "step_factor": f,
+                "step_exit_factor": 1.02, "fp32_step_ms": f * 7.74}
+
+    trials = run_contention_trials(
+        lambda: 10.0, canary, grid=16, quiet_threshold=1.2,
+        budget_s=100, sleep_s=20, sleep=lambda s: None,
+        exit_keys=("factor", "stream_factor", "step_exit_factor"),
+        clock=itertools.count(0, 1.0).__next__, log=lambda *a: None)
+    assert len(trials) == 1                 # exited on the first window
+    assert trials[0]["step_factor"] == 3.5  # correction factor intact

@@ -231,13 +231,36 @@ def test_fit_unregistered_scan(served_run, service):
         service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
 
 
+def test_fit_program_reuse_across_scans(served_run, service):
+    """Two scans with DIFFERENT vertex counts in the same chamfer bucket
+    must share one compiled optimization program: all request data flows
+    through arguments, so the jit cache sees identical shapes (closure
+    constants would force a recompile per scan)."""
+    from craniofacialsd_vae_tpu.analysis.fitting import _get_fit_run
+
+    mgr = service.manager
+    n = mgr.template.num_vertices
+    service.landmark_idx = list(range(0, n, max(n // 6, 1)))[:6]
+    tpl = np.asarray(mgr.template.pos, np.float32)
+    lnd = tpl[service.landmark_idx]
+    run = _get_fit_run(mgr, 5e-3, 2)
+    base = run._cache_size()
+    r1 = service.fit(tpl[: n - 2] + 0.01, lnd, iterations=2, n_restarts=2)
+    r2 = service.fit(tpl[: n - 6] - 0.02, lnd, iterations=2, n_restarts=2)
+    assert run._cache_size() == base + 1   # one trace serves both scans
+    assert r1["z"].shape == r2["z"].shape
+
+
 def test_warmup_fit(served_run, service):
     """warmup_fit compiles+runs the fit program against a fake
-    template-derived scan; a real fit afterwards still works and lands
-    in the same bucket path."""
-    before = service.stats()["requests"]
+    template-derived scan WITHOUT polluting the request stats (a
+    multi-minute warmup latency sample would dominate p50/p95)."""
+    before = service.stats()
     service.warmup_fit(scan_points=200, iterations=2, n_restarts=2)
-    assert service.stats()["requests"] == before + 1
+    after = service.stats()
+    assert after["requests"] == before["requests"]
+    assert after["meshes"] == before["meshes"]
+    assert after["p50_ms"] == before["p50_ms"]
 
 
 def test_plan_matches_tester(served_run, service, tmp_path):

@@ -134,6 +134,9 @@ def main(argv=None):
             time.sleep(args.interval)
             continue
         n += 1
+        # pre-update floor: the on_quiet "dramatic improvement" detector
+        # compares the new sample against what was known BEFORE it
+        prev_fp32_floor = floors.get("step_fp32_ms", float("inf"))
         improved = [k for k in sample if sample[k] < floors[k]]
         for k in improved:
             floors[k] = sample[k]
@@ -164,10 +167,18 @@ def main(argv=None):
             json.dump(out, f, indent=1)
         # quiet-window opportunist: the plateau can last whole sessions,
         # so when the step regime IS quiet, immediately capture the
-        # artifacts that need a quiet chip (see --on_quiet)
+        # artifacts that need a quiet chip (see --on_quiet). Fires on
+        # EITHER detector: near the quiet anchor (genuine quiet — the
+        # anchor is derived, so this may never trigger on a chip that
+        # never clears), OR dramatically below the best level this
+        # sampler has itself recorded (<70% of the observed floor) — a
+        # regime improvement worth capturing even if still above the
+        # anchor.
         if args.on_quiet and "step_fp32_ms" in sample \
-                and sample["step_fp32_ms"] / FP32_STEP_QUIET_MS \
-                <= args.quiet_threshold \
+                and (sample["step_fp32_ms"] / FP32_STEP_QUIET_MS
+                     <= args.quiet_threshold
+                     or sample["step_fp32_ms"]
+                     < 0.7 * prev_fp32_floor) \
                 and (last_quiet_run is None or time.time() - last_quiet_run
                      > args.on_quiet_cooldown_s):
             last_quiet_run = time.time()
