@@ -434,6 +434,46 @@ def test_batch_diagnose_cli(served_run, service, tmp_path):
         assert recon.vertices.shape == raw[i].shape
 
 
+def test_serve_cli_subprocess(served_run):
+    """tools/serve.py end-to-end as a real process: arg parsing, run-dir
+    loading, bucket warmup, the startup banner (port announcement), a
+    live /healthz + /diagnose round-trip, and clean termination."""
+    import subprocess
+    import sys
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--run_dir",
+         served_run["run_dir"], "--platform", "cpu", "--port", "0",
+         "--max_batch", "4"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        url = None
+        for _ in range(600):                 # bounded startup wait
+            line = proc.stdout.readline()
+            if "serving" in line and "http://" in line:
+                url = line.split()[3]
+                break
+            assert proc.poll() is None, "server exited during startup"
+        assert url, "startup banner with the bound port never appeared"
+
+        h = json.loads(urllib.request.urlopen(url + "/healthz",
+                                              timeout=60).read())
+        assert h["ok"] and h["buckets"] == [1, 2, 4]
+        body = json.dumps(
+            {"vertices": served_run["raw"][0].tolist()}).encode()
+        req = urllib.request.Request(
+            url + "/diagnose", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert out["reports"]["label"] in \
+            set(served_run["manager"]._class2idx_dict)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_concurrent_requests_are_correct(served_run, service):
     """8 threads hammering encode/diagnose concurrently must each get the
     same answers as the serial path (device dispatch serializes behind
