@@ -121,7 +121,8 @@ def make_matmul_canary(rng: np.random.Generator):
 
 def make_flagship_step_timer(rng: np.random.Generator,
                              with_context: bool = False,
-                             compute_dtype: str | None = None):
+                             compute_dtype: str | None = None,
+                             batch: int = 4):
     """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
     scanned train step (craniofacial.yaml model section incl. the mixed
     compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
@@ -167,7 +168,6 @@ def make_flagship_step_timer(rng: np.random.Generator,
     opt = optax.adamw(1e-4, weight_decay=0.0)
     state = create_train_state(params, opt)
     weights = LossWeights(kl=1e-4, laplacian=0.1, latent_consistency=0.5)
-    batch = 4
     n_verts = geom.region_masks.shape[1]
     epoch = make_scanned_train_step(config, weights, opt, batch_size=batch,
                                     swap=True)
