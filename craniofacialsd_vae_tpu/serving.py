@@ -295,6 +295,13 @@ class DiagnosisService:
         it does NOT count toward request stats — a multi-minute warmup
         latency sample would dominate p50/p95 until real traffic
         dilutes it."""
+        if not self.landmark_idx:
+            # non-flagship template with no valid clinical landmark ids:
+            # fit needs landmarks, so there is nothing to warm — the
+            # operator sets service.landmark_idx first (fit() says so)
+            print("warmup_fit: no landmark indices valid on this "
+                  "template — skipping fit warmup", flush=True)
+            return
         tpl = np.asarray(self.manager.template.pos, np.float32)
         rng = np.random.default_rng(0)
         scan = tpl[rng.integers(0, len(tpl), size=int(scan_points))]

@@ -254,13 +254,23 @@ def test_fit_program_reuse_across_scans(served_run, service):
 def test_warmup_fit(served_run, service):
     """warmup_fit compiles+runs the fit program against a fake
     template-derived scan WITHOUT polluting the request stats (a
-    multi-minute warmup latency sample would dominate p50/p95)."""
-    before = service.stats()
-    service.warmup_fit(scan_points=200, iterations=2, n_restarts=2)
-    after = service.stats()
-    assert after["requests"] == before["requests"]
-    assert after["meshes"] == before["meshes"]
-    assert after["p50_ms"] == before["p50_ms"]
+    multi-minute warmup latency sample would dominate p50/p95); with no
+    valid landmarks it skips instead of crashing server startup."""
+    n = service.manager.template.num_vertices
+    saved = service.landmark_idx
+    try:
+        service.landmark_idx = []
+        service.warmup_fit(scan_points=50, iterations=1, n_restarts=1)
+
+        service.landmark_idx = list(range(0, n, max(n // 6, 1)))[:6]
+        before = service.stats()
+        service.warmup_fit(scan_points=200, iterations=2, n_restarts=2)
+        after = service.stats()
+        assert after["requests"] == before["requests"]
+        assert after["meshes"] == before["meshes"]
+        assert after["p50_ms"] == before["p50_ms"]
+    finally:
+        service.landmark_idx = saved
 
 
 def test_plan_matches_tester(served_run, service, tmp_path):
@@ -469,6 +479,48 @@ def test_serve_cli_subprocess(served_run):
         out = json.loads(urllib.request.urlopen(req, timeout=120).read())
         assert out["reports"]["label"] in \
             set(served_run["manager"]._class2idx_dict)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_serve_cli_data_parallel_subprocess(served_run):
+    """serve.py --data_parallel --warm_fit on an 8-device virtual mesh:
+    DP bucket layout in healthz and a live batched diagnose."""
+    import subprocess
+    import sys
+    import urllib.request
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--run_dir",
+         served_run["run_dir"], "--platform", "cpu", "--port", "0",
+         "--max_batch", "16", "--data_parallel", "--no_warmup",
+         "--warm_fit"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        url = None
+        for _ in range(600):
+            line = proc.stdout.readline()
+            if "serving" in line and "http://" in line:
+                url = line.split()[3]
+                break
+            assert proc.poll() is None, "server exited during startup"
+        assert url, "startup banner never appeared"
+        h = json.loads(urllib.request.urlopen(url + "/healthz",
+                                              timeout=60).read())
+        assert h["n_devices"] == 8 and h["buckets"] == [8, 16]
+        assert h["requests"] == 0          # warm_fit didn't count
+        body = json.dumps(
+            {"vertices": served_run["raw"][:3].tolist()}).encode()
+        req = urllib.request.Request(
+            url + "/diagnose", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert len(out["reports"]) == 3
     finally:
         proc.terminate()
         proc.wait(timeout=30)
