@@ -122,7 +122,8 @@ def make_matmul_canary(rng: np.random.Generator):
 def make_flagship_step_timer(rng: np.random.Generator,
                              with_context: bool = False,
                              compute_dtype: str | None = None,
-                             batch: int = 4):
+                             batch: int = 4,
+                             config_overrides: dict | None = None):
     """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
     scanned train step (craniofacial.yaml model section incl. the mixed
     compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
@@ -141,7 +142,9 @@ def make_flagship_step_timer(rng: np.random.Generator,
     flagship model (bench.py's encode/decode latency section).
     ``compute_dtype`` overrides the shipped activation policy — e.g.
     ``"float32"`` builds the fp32-formulation step used as the
-    step-regime contention canary (FP32_STEP_QUIET_MS)."""
+    step-regime contention canary (FP32_STEP_QUIET_MS); further
+    SDVAEConfig fields can be overridden via ``config_overrides`` for
+    formulation A/Bs (e.g. {"final_out_gather": False})."""
     import os
     import sys
 
@@ -161,9 +164,12 @@ def make_flagship_step_timer(rng: np.random.Generator,
 
     geom = _flagship_geometry()
     config = flagship_sdvae_config(repo)
-    if compute_dtype is not None:
+    if compute_dtype is not None or config_overrides:
         import dataclasses
-        config = dataclasses.replace(config, compute_dtype=compute_dtype)
+        over = dict(config_overrides or {})
+        if compute_dtype is not None:
+            over["compute_dtype"] = compute_dtype
+        config = dataclasses.replace(config, **over)
     params = init_sdvae(jax.random.PRNGKey(0), config, geom)
     opt = optax.adamw(1e-4, weight_decay=0.0)
     state = create_train_state(params, opt)

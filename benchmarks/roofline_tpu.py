@@ -90,7 +90,21 @@ def count_gather_rows(geom, config, B):
               for j in range(n_levels)]
     for j in range(n_levels):
         conv_rows(geom.spirals[n_levels - 1 - j], de_cin[j])
-    conv_rows(geom.spirals[0], config.out_channels[0])      # final conv
+    # final conv: under the bf16 policies decode() uses the matmul-first
+    # out-gather formulation (ops/spiral_conv.spiral_conv_out_gather) —
+    # forward gathers the per-position projections at width G·C_out (= G·3,
+    # fp32) and the backward gathers the raw dy through each position's
+    # capped transpose; no combined table, no dy·Wᵀ materialization
+    fin = geom.spirals[0]
+    if config.final_out_gather and \
+            config.compute_dtype in ("mixed", "bfloat16"):
+        w = G * config.in_channels
+        add(w, sum(g.idx.shape[0] for g in fin.gathers if g is not None))
+        for g in fin.gathers:
+            if g is not None:
+                add(w, ell_rows(g.transpose))
+    else:
+        conv_rows(fin, config.out_channels[0])
     # up pools (ELL K=3 + transpose) at decoder input widths
     for j in range(n_levels):
         level = n_levels - 1 - j

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (build_pool_operator, build_spiral_op, init_spiral_conv,
-                   pool, spiral_conv)
+                   pool, spiral_conv, spiral_conv_out_gather)
 
 __all__ = ["SDVAEConfig", "SpiralGeometry", "init_sdvae", "encode", "decode",
            "forward", "reparameterize", "latent_regions", "to_vertex_major",
@@ -66,6 +66,12 @@ class SDVAEConfig:
     #   "bfloat16" — everything bf16 (legacy knob; measured ~5× slower on
     #     v5e because of the thin level-0 rows — kept for experiments).
     compute_dtype: str = "float32"
+    # Under the bf16/mixed policies, compute the final decoder conv
+    # matmul-first (ops/spiral_conv.spiral_conv_out_gather): its gathers move
+    # G·3-width rows instead of G·32 in both directions. No effect under
+    # "float32", which keeps the gather-first formulation for bit-parity
+    # with the oracles and the golden fixture.
+    final_out_gather: bool = True
 
     @classmethod
     def from_dict(cls, model_cfg: dict, kl_weight: float) -> "SDVAEConfig":
@@ -77,6 +83,7 @@ class SDVAEConfig:
             is_vae=float(kl_weight) > 0,
             pre_z_sigmoid=model_cfg.get("pre_z_sigmoid", False),
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
+            final_out_gather=model_cfg.get("final_out_gather", True),
         )
 
     @property
@@ -256,6 +263,11 @@ def decode(params: dict, geom: SpiralGeometry, config: SDVAEConfig,
         h = pool(h, geom.up[level])
         h = spiral_conv(conv_p, h, geom.spirals[level])
         h = jax.nn.elu(h)
+    if config.final_out_gather and h.dtype == jnp.bfloat16:
+        # matmul-first final conv: gathers move G·3-width fp32 rows instead
+        # of G·32 bf16 in both directions (the fastest measured row class)
+        return spiral_conv_out_gather(params["final_conv"], h,
+                                      geom.spirals[0])
     return spiral_conv(params["final_conv"], h, geom.spirals[0],
                        out_dtype=jnp.float32).astype(jnp.float32)
 

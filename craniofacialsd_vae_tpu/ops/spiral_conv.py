@@ -25,7 +25,7 @@ import numpy as np
 from .sparse import GatherRows, gather_op_from_idx, gather_rows
 
 __all__ = ["SpiralOp", "build_spiral_op", "spiral_conv", "init_spiral_conv",
-           "spiral_gather"]
+           "spiral_gather", "spiral_conv_out_gather"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -219,6 +219,48 @@ def _score_bwd(res, dy):
 
 
 _spiral_conv_core.defvjp(_score_fwd, _score_bwd)
+
+
+def spiral_conv_out_gather(params: dict, x: jnp.ndarray,
+                           op: SpiralOp) -> jnp.ndarray:
+    """Matmul-first ("out-gather") spiral conv: [N, B, C_in] → [N, B, C_out].
+
+    Reassociates the conv as out = b + Σ_l (x @ W_l)[spiral[:, l]]: the
+    per-position projections are computed before the gathers, so every
+    gathered row has width C_out instead of C_in. The step is gather-ROW-
+    throughput-bound (docs/PERFORMANCE.md "Roofline accounting"), so this
+    formulation wins exactly when C_out ≪ C_in — the final decoder conv
+    (32 → 3 channels, reference model.py:135-136), whose gathers drop from
+    the bandwidth-limited G·32 width class to the fast G·3 class in BOTH
+    directions: the backward gathers the raw dy cotangent through each
+    position's capped transpose instead of materializing the [L, N, B, C_in]
+    dy·Wᵀ tensor. For square or widening convs the gather-first form is
+    better (its combined transpose table is denser than L per-position
+    tables), which is why `spiral_conv` stays the default everywhere else.
+
+    No custom VJP is needed: gather_rows already carries its scatter-free
+    capped transpose, and the matmuls differentiate natively (dW = xᵀ·du
+    with no gathered operand at all). With bf16 inputs the projection
+    accumulates fp32 on the MXU and the output is the UNROUNDED fp32
+    accumulator (same contract as spiral_conv(out_dtype=float32)); the
+    gathers move fp32 G·C_out rows — at C_out=3 the 48-float fp32 row class
+    is also the fastest measured gather class on v5e. A gather never rounds
+    values, so the result matches the gather-first bf16 form up to fp32
+    summation order. Used only under the bf16/mixed policies so the fp32
+    formulation keeps bit-parity with the oracles and the golden fixture.
+    """
+    w = params["w"]
+    b = params["b"]
+    c_in = x.shape[-1]
+    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    w_l = w.reshape(op.seq_length, c_in, -1).astype(x.dtype)
+    # u[l] = x @ W_l for all positions in one MXU matmul, fp32 accumulated;
+    # position-major layout so each gather source u[i] is contiguous
+    u = jnp.einsum("...c,lco->l...o", x, w_l, preferred_element_type=acc)
+    out = b.astype(acc)
+    for i, g in enumerate(op.gathers):
+        out = out + (u[i] if g is None else gather_rows(g, u[i]))
+    return out
 
 
 @jax.custom_vjp

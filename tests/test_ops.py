@@ -223,6 +223,90 @@ class TestSpiralConv:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestSpiralConvOutGather:
+    """Matmul-first formulation (final decoder conv under bf16 policies):
+    out = b + Σ_l (x @ W_l)[spiral[:, l]] must equal the gather-first
+    spiral_conv — a gather moves values, it never rounds them."""
+
+    def _build(self, rng, n=30, l=5, c_in=8, c_out=3, b=4, identity=True):
+        from craniofacialsd_vae_tpu.ops import (build_spiral_op,
+                                                init_spiral_conv)
+
+        spirals = rng.integers(0, n, size=(n, l))
+        if identity:
+            spirals[:, 0] = np.arange(n)             # SpiralNet++ convention
+        op = build_spiral_op(spirals)
+        params = init_spiral_conv(jax.random.PRNGKey(3), c_in, c_out, l)
+        x = rng.normal(size=(n, b, c_in)).astype(np.float32)
+        return op, params, x
+
+    def test_matches_gather_first_fp32(self, rng):
+        from craniofacialsd_vae_tpu.ops import (spiral_conv,
+                                                spiral_conv_out_gather)
+
+        op, params, x = self._build(rng)
+        ref = spiral_conv(params, jnp.asarray(x), op)
+        out = spiral_conv_out_gather(params, jnp.asarray(x), op)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_bf16_matches_f32out_path(self, rng):
+        """Same bf16 products, fp32 accumulation → agree to fp32 summation
+        order; output is the unrounded fp32 accumulator in both forms."""
+        from craniofacialsd_vae_tpu.ops import (spiral_conv,
+                                                spiral_conv_out_gather)
+
+        op, params, x = self._build(rng, identity=False)
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        ref = spiral_conv(params, xb, op, out_dtype=jnp.float32)
+        out = spiral_conv_out_gather(params, xb, op)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_autodiff_oracle(self, rng):
+        """gather_rows' capped-transpose VJP composed with native einsum
+        autodiff equals the gather-first custom VJP (fp32)."""
+        from craniofacialsd_vae_tpu.ops import (spiral_conv,
+                                                spiral_conv_out_gather)
+
+        op, params, x = self._build(rng, n=12, l=4, c_in=5, c_out=2, b=2)
+        x = jnp.asarray(x)
+
+        def ref_loss(params, x):
+            return jnp.sum(spiral_conv(params, x, op) ** 2)
+
+        def og_loss(params, x):
+            return jnp.sum(spiral_conv_out_gather(params, x, op) ** 2)
+
+        g1 = jax.grad(ref_loss, argnums=(0, 1))(params, x)
+        g2 = jax.jit(jax.grad(og_loss, argnums=(0, 1)))(params, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-5), g1, g2)
+
+    def test_decode_formulation_switch(self, rng):
+        """decode() under the mixed policy uses the out-gather final conv;
+        final_out_gather=False restores the gather-first form. Both must
+        agree (fp32-summation-order tolerance) and stay fp32-precise."""
+        import dataclasses
+
+        from craniofacialsd_vae_tpu.models import (SDVAEConfig, decode,
+                                                   init_sdvae)
+        from tests.test_training import _tiny_geometry
+
+        geom = _tiny_geometry(rng)
+        cfg = SDVAEConfig(out_channels=(8, 16), latent_size=6,
+                          compute_dtype="mixed")
+        params = init_sdvae(jax.random.PRNGKey(0), cfg, geom)
+        z = jnp.asarray(rng.normal(size=(3, cfg.latent_size))
+                        .astype(np.float32))
+        out_og = decode(params, geom, cfg, z)
+        out_gf = decode(params, geom,
+                        dataclasses.replace(cfg, final_out_gather=False), z)
+        assert out_og.dtype == jnp.float32
+        np.testing.assert_allclose(out_og, out_gf, rtol=1e-4, atol=1e-5)
+
+
 class TestPool:
     def test_selection_pool(self, rng):
         from craniofacialsd_vae_tpu.geometry.simplify import SparseCOO
