@@ -22,6 +22,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -129,6 +130,30 @@ def test_visualize_in_batch_cli(cli_workspace):
         f"{proc.stderr[-2000:]}"
     plys = [f for f in os.listdir(out) if f.endswith(".ply")]
     assert len(plys) == 16, plys
+
+
+def test_train_cli_mixed_policy(cli_workspace):
+    """The shipped flagship activation policy through the real CLI:
+    compute_dtype: mixed (level-0 fp32 / deep bf16, incl. the out-gather
+    final conv — the craniofacial.yaml default) trains end-to-end and the
+    quantitative eval suite runs against its checkpoint. The other CLI
+    tests keep fp32 so the migration e2e's torch parity stays exact."""
+    import json
+
+    import yaml
+
+    root, cfg_path = cli_workspace
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["compute_dtype"] = "mixed"
+    mixed_path = str(root / "cli_mixed.yaml")
+    with open(mixed_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _, out_dir = _run_cli(root, mixed_path, "cli_mixed")
+    _assert_artifacts(out_dir)
+    proc, _ = _run_eval_cli(root, "cli_mixed", "recon")
+    metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert np.isfinite(metrics["mean"]) and metrics["mean"] > 0, metrics
 
 
 def test_train_cli_data_parallel(cli_workspace):
