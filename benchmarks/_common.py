@@ -30,6 +30,26 @@ MATMUL_QUIET_MS = 2.1
 STREAM_QUIET_MS = 0.41
 
 
+def slope_time_s(run, n_short: int = 6, n_long: int = 26) -> float:
+    """Seconds per iteration via two-loop slope. ``run(n)`` must execute
+    n dependent iterations and end with ONE scalar value fetch — the
+    slope cancels the constant fetch round-trip. Guarded like
+    make_flagship_step_timer: a contention spike during the short loop
+    can flip the slope negative, in which case fall back to the long
+    loop's plain average (pessimistic but finite)."""
+    run(2)  # warmup/compile
+    t0 = time.perf_counter()
+    run(n_short)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(n_long)
+    t_long = time.perf_counter() - t0
+    dt = (t_long - t_short) / (n_long - n_short)
+    if dt <= 0:                       # contention corrupted the pair
+        dt = t_long / n_long
+    return dt
+
+
 def make_stream_canary(rng: np.random.Generator):
     """Return `stream_ms()`: wall ms per iteration of a 64-step scanned
     elementwise multiply over a [8192, 4096] fp32 array — 256 MiB of HBM

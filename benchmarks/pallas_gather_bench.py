@@ -19,18 +19,14 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def slope(run, n_short=6, n_long=26):
-    run(2)
-    t0 = time.perf_counter(); run(n_short)
-    t1 = time.perf_counter(); run(n_long)
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (n_long - n_short)
+from benchmarks._common import slope_time_s as slope  # noqa: E402
+# (shared guarded implementation — a contention spike during the short
+# loop otherwise flips the slope negative)
 
 
 def main():

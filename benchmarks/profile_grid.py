@@ -12,24 +12,14 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def slope_time(run, n_short=6, n_long=26):
-    """Seconds per iteration via two-loop slope. `run(n)` must execute n
-    dependent iterations and end with ONE scalar value fetch — the slope
-    cancels the constant fetch round-trip."""
-    run(2)  # warmup/compile
-    t0 = time.perf_counter()
-    run(n_short)
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(n_long)
-    t_long = time.perf_counter() - t0
-    return (t_long - t_short) / (n_long - n_short)
+from benchmarks._common import slope_time_s as slope_time  # noqa: E402
+# (shared guarded implementation — a contention spike during the short
+# loop otherwise flips the slope negative)
 
 
 def main():

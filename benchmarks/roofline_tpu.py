@@ -359,6 +359,8 @@ def main():
         with open(args.json, "w") as f:
             json.dump({
                 "compute_dtype": config.compute_dtype,
+                "batch": B,
+                "grid": G,
                 "rows_by_width": {str(k): v for k, v in rows.items()},
                 "total_rows": total_rows,
                 "row_rates_mrows_per_s": {

@@ -11,6 +11,8 @@ builds a diagnosis report).
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 import jax
@@ -48,20 +50,23 @@ def procrustes_align(scan: np.ndarray, landmarks: np.ndarray,
     return aligned, aligned_lnd
 
 
-# Jitted scanned-optimization programs, keyed per (manager identity, lr,
+# Jitted scanned-optimization programs, keyed per (manager, lr,
 # iterations). Everything request-specific — params, restart latents,
 # bucketed chamfer target/mask/count, landmarks, normalization — enters
 # as ARGUMENTS, so requests that share shapes share the compiled program
 # exactly (closure-captured arrays would embed per-request constants in
 # the module and defeat both the in-process and persistent compile
 # caches). Params are an argument too: a manager that resumes new
-# weights keeps using the same program.
-_FIT_RUN_CACHE: dict = {}
+# weights keeps using the same program. Weak-keyed on the manager:
+# an id()-keyed dict would both pin the closed-over geometry forever and
+# risk serving a dead manager's program to a new object recycling its
+# address.
+_FIT_RUN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _get_fit_run(mgr, lr: float, iterations: int):
-    key = (id(mgr), lr, iterations)
-    run = _FIT_RUN_CACHE.get(key)
+    per_mgr = _FIT_RUN_CACHE.setdefault(mgr, {})
+    run = per_mgr.get((lr, iterations))
     if run is not None:
         return run
     import optax
@@ -107,7 +112,7 @@ def _get_fit_run(mgr, lr: float, iterations: int):
         # final per-restart losses come back in the same dispatch
         return z, losses(params, z, c)
 
-    _FIT_RUN_CACHE[key] = run
+    per_mgr[(lr, iterations)] = run
     return run
 
 
@@ -188,8 +193,12 @@ def fit_latent(manager, norm: dict | None, scan: np.ndarray,
     gen = np.asarray(mgr.generate(z_best))
     if norm is not None:
         gen = gen * norm["std"] + norm["mean"]
+    # squared distances need the SQUARED linear→mm constant (the reference
+    # scales its squared fit losses by the linear constant but never
+    # labels the units — test.py:423-425, 463-464; our serving contract
+    # says mm²)
+    mm2 = mgr.to_mm_const ** 2
     return {"z": z_best, "vertices": gen,
-            "chamfer_mm2": float(np.asarray(ch)[best] * mgr.to_mm_const),
-            "landmark_mse_mm2": float(np.asarray(lnd_loss)[best]
-                                      * mgr.to_mm_const),
+            "chamfer_mm2": float(np.asarray(ch)[best] * mm2),
+            "landmark_mse_mm2": float(np.asarray(lnd_loss)[best] * mm2),
             "aligned_scan": aligned}

@@ -593,7 +593,7 @@ class Tester:
         ts_ly = np.asarray(ts_l["y"])
         ts_y = np.asarray(mgr.class2idx(ts_l["y"]))
 
-        accs, reports, confmats = {}, {}, {}
+        accs, reports, preds = {}, {}, {}
         for name in ("mlp", "svm", "lda", "qda"):
             try:
                 pred = zoo.predict(ts_z, name)
@@ -604,8 +604,7 @@ class Tester:
             accs[f"accuracy_{name}"] = float(np.mean(pred == ts_y))
             reports[name] = classification_report(
                 ts_ly, pred_chars, output_dict=True, zero_division=0)
-            confmats[name] = confusion_matrix(
-                ts_ly, pred_chars, normalize="true")
+            preds[name] = pred_chars
 
         with open(os.path.join(self._out_dir, "accuracies.json"), "w") as f:
             json.dump(accs, f)
@@ -613,8 +612,14 @@ class Tester:
                                "classification_report.json"), "w") as f:
             json.dump(reports, f)
 
-        labels = unique_labels(ts_ly)
-        for name, cm in confmats.items():
+        # labels must span predictions too: a head predicting a class
+        # absent from the small test split would otherwise give the
+        # matrix one more row than the tick-label list
+        labels = unique_labels(ts_ly, *preds.values()) if preds \
+            else unique_labels(ts_ly)
+        for name, pred_chars in preds.items():
+            cm = confusion_matrix(ts_ly, pred_chars, labels=labels,
+                                  normalize="true")
             self._plot_confusion_matrix(
                 cm, labels,
                 os.path.join(self._out_dir, f"confmat_{name}.svg"))
@@ -646,7 +651,6 @@ class Tester:
 
         mgr = self._manager
         zoo = mgr.classifiers
-        labels = unique_labels(ts_ly)
         for m, clf_dict in (("lda", zoo.region_ldas),
                             ("qda", zoo.region_qdas)):
             if not clf_dict:
@@ -658,7 +662,11 @@ class Tester:
             for n, (key, clf) in enumerate(clf_dict.items()):
                 lo, hi = mgr.latent_regions[key]
                 pred = np.asarray(mgr.idx2class(clf.predict(ts_z[:, lo:hi])))
-                cf = confusion_matrix(ts_ly, pred, normalize="true")
+                # per-subplot label set spanning predictions, so the
+                # matrix shape always matches the tick labels
+                labels = unique_labels(ts_ly, pred)
+                cf = confusion_matrix(ts_ly, pred, labels=labels,
+                                      normalize="true")
                 ax = plt.subplot(n_rows, n_cols, n + 1)
                 g = sns.heatmap(cf, annot=True, cmap="YlGnBu", ax=ax,
                                 vmin=0.0, vmax=1.0)
@@ -961,9 +969,10 @@ class Tester:
         assert zoo.qda is not None, \
             "pre/post assessment needs the trained QDA distribution"
         qda = zoo.qda
-        i = int(np.where(qda.classes == n_label)[0][0])
-        mean_h = qda.means[i]
-        cov_h = qda.covs[i]
+        # class_covariance (not covs[i]) — it rebuilds the covariance for
+        # heads imported from store_covariance=False sklearn pickles,
+        # where covs is None
+        mean_h, cov_h = qda.class_covariance(n_label)
         d_pre_l2 = float(np.linalg.norm(z_pre[0] - mean_h))
         d_post_l2 = float(np.linalg.norm(z_post[0] - mean_h))
         metric_global_l2 = (d_pre_l2 - d_post_l2) / max(d_post_l2, 1e-9)
@@ -1001,8 +1010,7 @@ class Tester:
                                    max(d_post_r, 1e-9))
 
             rq = zoo.region_qdas[key]
-            j = int(np.where(rq.classes == n_label)[0][0])
-            m_r, cov_r = rq.means[j], rq.covs[j]
+            m_r, cov_r = rq.class_covariance(n_label)
             disp = z_post[0, lo:hi] - z_pre[0, lo:hi]
             ideal_r = m_r - z_pre[0, lo:hi]
             cos_r = float(disp @ ideal_r /

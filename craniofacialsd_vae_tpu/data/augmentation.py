@@ -48,10 +48,17 @@ def _spectral_swap_batch(eigvecs, x1, x2, selectors):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _as_batch(x) -> np.ndarray:
+    """Lift a single [N, 3] mesh to [1, N, 3] (np.atleast_3d would append
+    the new axis at the END, giving [N, 3, 1])."""
+    x = np.asarray(x, np.float32)
+    return x[None] if x.ndim == 2 else x
+
+
 def spectral_combination(eigvecs: np.ndarray, x1, x2, rng: np.random.Generator):
     """Swap a random third of the first SWAP_UNTIL coefficients
     (reference utils.py:244-253). Batched over leading dim."""
-    x1 = np.atleast_3d(np.asarray(x1, np.float32))
+    x1 = _as_batch(x1)
     p, _, _ = x1.shape
     k = eigvecs.shape[1]
     selectors = np.zeros((p, k), np.float32)
@@ -59,7 +66,7 @@ def spectral_combination(eigvecs: np.ndarray, x1, x2, rng: np.random.Generator):
         chosen = rng.choice(SWAP_UNTIL, SWAP_UNTIL // 3, replace=False)
         selectors[i, chosen] = 1.0
     out = _spectral_swap_batch(jnp.asarray(eigvecs), jnp.asarray(x1),
-                               jnp.asarray(np.atleast_3d(x2)),
+                               jnp.asarray(_as_batch(x2)),
                                jnp.asarray(selectors))
     return np.asarray(out)
 
@@ -80,14 +87,14 @@ def spectral_interpolation(eigvecs: np.ndarray, x1, x2,
                            rng: np.random.Generator):
     """Gaussian-weighted (N(0.5, 0.5)) per-coefficient interpolation of the
     first INTERP_UNTIL coefficients (reference utils.py:256-267)."""
-    x1 = np.atleast_3d(np.asarray(x1, np.float32))
+    x1 = _as_batch(x1)
     p = x1.shape[0]
     k = eigvecs.shape[1]
     values = rng.normal(0.5, 0.5, size=(p, k)).astype(np.float32)
     mask = np.zeros(k, np.float32)
     mask[:INTERP_UNTIL] = 1.0
     out = _spectral_interp_batch(jnp.asarray(eigvecs), jnp.asarray(x1),
-                                 jnp.asarray(np.atleast_3d(x2)),
+                                 jnp.asarray(_as_batch(x2)),
                                  jnp.asarray(values), jnp.asarray(mask))
     return np.asarray(out)
 

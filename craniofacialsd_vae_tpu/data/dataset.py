@@ -70,7 +70,9 @@ class DatasetSummary:
             age = row.get("AgeMonths")
             if age is None or (isinstance(age, float) and np.isnan(age)):
                 yrs = row.get("AgeYears")
-                age = yrs * 12 + 6 if yrs == yrs else -1
+                # `yrs == yrs` alone is a NaN check, but a sheet with no
+                # AgeYears column yields None (None == None is True)
+                age = yrs * 12 + 6 if yrs is not None and yrs == yrs else -1
             ages[row["mesh_name"]] = float(age)
             genders[row["mesh_name"]] = row.get("Gender", "n/a")
         used_col = "Head Used" if data_type == "heads" else "Face Used"
@@ -209,7 +211,7 @@ def _augment_train_list(root, train_list, template, summary, mode,
         more_3y = [i for i in info if i["age"] >= AGE_SPLIT_MONTHS]
 
         # batched generation
-        pairs1, pairs2, names1, names2 = [], [], [], []
+        names1, names2 = [], []
         for _ in range(n_aug):
             group = less_3y if (rng.random() < 0.5 and len(less_3y) >= 2) \
                 else (more_3y if len(more_3y) >= 2 else less_3y)

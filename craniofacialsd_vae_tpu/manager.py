@@ -109,6 +109,7 @@ class ModelManager:
             self._model_params["latent_size"], self.template.region_names)
 
         self._class2idx_dict = None
+        self._idx2class_dict = None
         self._class_weights = None
         self._losses = None
         self._epoch_key = jax.random.PRNGKey(seed + 1)
@@ -197,10 +198,14 @@ class ModelManager:
     def set_class_conversions_and_weights(self, class_weight_dict: dict):
         self._class2idx_dict, weights = class_conversions_and_weights(
             class_weight_dict)
+        self._idx2class_dict = {v: k for k, v in
+                                self._class2idx_dict.items()}
         self._class_weights = jnp.asarray(weights)
 
     def set_class_conversions(self, class2idx: dict):
         self._class2idx_dict = dict(class2idx)
+        self._idx2class_dict = {v: k for k, v in
+                                self._class2idx_dict.items()}
 
     def class2idx(self, data_class):
         if isinstance(data_class, (list, np.ndarray)):
@@ -208,7 +213,7 @@ class ModelManager:
         return self._class2idx_dict[data_class]
 
     def idx2class(self, idx):
-        inv = {v: k for k, v in self._class2idx_dict.items()}
+        inv = self._idx2class_dict
         if isinstance(idx, (list, np.ndarray)):
             return [inv[int(i)] for i in idx]
         return inv[int(idx)]

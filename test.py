@@ -101,13 +101,20 @@ def main():
         print(json.dumps(tester.reconstruction_errors(), indent=1))
     elif exp == "interpolate":
         # reference semantics (test.py:544-567): first test mesh vs the most
-        # different test mesh
+        # different test mesh. tester.interpolate expects RAW vertices (it
+        # normalizes internally), so only un-normalize when the split
+        # arrays are actually normalized.
         import numpy as np
-        x0 = test_set.x[0] * normalization["std"] + normalization["mean"]
+        if config["data"].get("normalize_data", True):
+            def raw(x):
+                return x * normalization["std"] + normalization["mean"]
+        else:
+            def raw(x):
+                return x
+        x0 = raw(test_set.x[0])
         dists = [float(np.mean((test_set.x[0] - test_set.x[i]) ** 2))
                  for i in range(len(test_set))]
-        x1 = test_set.x[int(np.argmax(dists))] * normalization["std"] + \
-            normalization["mean"]
+        x1 = raw(test_set.x[int(np.argmax(dists))])
         tester.interpolate(x0, x1)
         print("interpolations written")
     elif exp == "classify_and_project":

@@ -133,6 +133,27 @@ def test_step_sampling_and_quiet_hook(monkeypatch, tmp_path):
     assert ran == ["echo hi"]
 
 
+def test_on_quiet_not_fired_by_infinite_first_floor(monkeypatch, tmp_path):
+    """Fresh session (no prior floor json) during a contention plateau:
+    the 'dramatically below observed floor' detector must not fire on the
+    very first sample (everything is < 0.7 × inf), which would capture
+    contention-degraded artifacts on a loud chip."""
+    from benchmarks._common import FP32_STEP_QUIET_MS
+    loud = FP32_STEP_QUIET_MS * 3.5
+    samples = {"matmul_ms": [3.0, 2.5, 2.8], "gather_ms": [1.5, 1.5, 1.5],
+               "stream_ms": [0.9, 0.9, 0.9],
+               "step_ms": [19.0, 18.5, 18.8],
+               "step_fp32_ms": [loud, loud * 1.01, loud * 0.99]}
+    ran = []
+    monkeypatch.setattr(
+        cf.subprocess, "run",
+        lambda cmd, **kw: ran.append(cmd) or types.SimpleNamespace(
+            returncode=0, stdout="", stderr=""))
+    _run(monkeypatch, tmp_path, samples,
+         extra_args=["--step", "--on_quiet", "echo hi"])
+    assert ran == []
+
+
 def test_on_quiet_requires_step(monkeypatch, tmp_path):
     with pytest.raises(SystemExit):
         cf.main(["--on_quiet", "echo hi", "--out",

@@ -223,6 +223,27 @@ class TestAugmentation:
         assert from1[SWAP_UNTIL:].all()               # tail untouched
         assert from2[:SWAP_UNTIL].sum() == SWAP_UNTIL // 3  # exactly 1/3
 
+    def test_single_mesh_lift(self, mesh_dir):
+        """The spectral augmentations accept an unbatched [N, 3] mesh and
+        must lift it to [1, N, 3] (np.atleast_3d appends the new axis at
+        the END, which fed [N, 3, 1] into the batched einsums)."""
+        from craniofacialsd_vae_tpu.data.augmentation import (
+            spectral_combination, spectral_interpolation)
+        from craniofacialsd_vae_tpu.ops.eigh import \
+            laplacian_eigendecomposition
+
+        root, tpl = mesh_dir
+        _, eigvecs = laplacian_eigendecomposition(tpl, k=40,
+                                                  backend="scipy")
+        x1 = tpl.pos.astype(np.float32)
+        x2 = (tpl.pos * 1.2).astype(np.float32)
+        for fn in (spectral_combination, spectral_interpolation):
+            single = fn(eigvecs, x1, x2, np.random.default_rng(7))
+            batched = fn(eigvecs, x1[None], x2[None],
+                         np.random.default_rng(7))
+            assert single.shape == (1,) + x1.shape
+            np.testing.assert_allclose(single, batched, rtol=1e-6)
+
     def test_offline_augmentation_writes_files(self, mesh_dir,
                                                tmp_path_factory):
         from craniofacialsd_vae_tpu.data.dataset import build_datasets
@@ -289,6 +310,24 @@ class TestBodiesVariant:
         age, gender = s.age_and_gender("n_1")
         assert age == 2.0 * 12 + 6 and gender == "F"     # years → months
         assert s.age_and_gender("a_3")[0] == -1          # NaN age kept -1
+
+    def test_summary_without_age_columns(self, tmp_path):
+        """A sheet with neither AgeMonths nor AgeYears must degrade to
+        age=-1 like every other missing-age path (row.get('AgeYears')
+        returns None and `None == None` is True, so the NaN guard alone
+        would send None into the years→months arithmetic)."""
+        import pandas as pd
+
+        from craniofacialsd_vae_tpu.data.dataset import DatasetSummary
+
+        df = pd.DataFrame({
+            "Dataset": ["LSFM"], "PID": [1],
+            "Gender": ["M"], "Face Used": ["y"],
+        })
+        path = str(tmp_path / "summary.csv")
+        df.to_csv(path, index=False)
+        s = DatasetSummary.load(path, data_type="bodies")
+        assert s.age_and_gender("n_1") == (-1.0, "M")
 
     def test_bodies_end_to_end_epoch(self, mesh_dir, tmp_path):
         import pandas as pd

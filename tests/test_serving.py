@@ -231,6 +231,29 @@ def test_fit_unregistered_scan(served_run, service):
         service.fit(scan[None], landmarks, iterations=1, n_restarts=1)
 
 
+def test_fit_mm2_units(served_run, monkeypatch):
+    """chamfer_mm2 / landmark_mse_mm2 are SQUARED distances, so they scale
+    with the SQUARE of the linear to_mm constant (regression: they were
+    multiplied by the linear constant, under-reporting by ~to_mm×)."""
+    from craniofacialsd_vae_tpu.analysis.fitting import fit_latent
+
+    mgr, norm = served_run["manager"], served_run["norm"]
+    n = mgr.template.num_vertices
+    lnd_idx = list(range(0, n, max(n // 6, 1)))[:6]
+    scan = served_run["raw"][0]
+    landmarks = scan[lnd_idx]
+
+    vals = {}
+    for c in (1.0, 10.0):
+        monkeypatch.setattr(mgr, "to_mm_const", c)
+        vals[c] = fit_latent(mgr, norm, scan, landmarks, lnd_idx,
+                             iterations=2, n_restarts=2, seed=0)
+    assert vals[10.0]["chamfer_mm2"] == pytest.approx(
+        100.0 * vals[1.0]["chamfer_mm2"], rel=1e-6)
+    assert vals[10.0]["landmark_mse_mm2"] == pytest.approx(
+        100.0 * vals[1.0]["landmark_mse_mm2"], rel=1e-6)
+
+
 def test_fit_program_reuse_across_scans(served_run, service):
     """Two scans with DIFFERENT vertex counts in the same chamfer bucket
     must share one compiled optimization program: all request data flows

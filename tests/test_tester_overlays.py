@@ -126,6 +126,52 @@ class TestFigureOverlays:
         assert os.path.exists(os.path.join(interp, "patient_x_emb_r.svg"))
 
 
+class TestPrePostCovlessQDA:
+    def test_pair_with_imported_covless_heads(self, tester, monkeypatch):
+        """evaluate_pre_post_pair must go through class_covariance so that
+        QDA heads imported from store_covariance=False sklearn pickles
+        (covs=None) still evaluate instead of TypeError-ing on covs[i]."""
+        zoo = tester._manager.classifiers
+        zoo.qda.covs = None
+        for rq in zoo.region_qdas.values():
+            rq.covs = None
+
+        rng = np.random.default_rng(11)
+        monkeypatch.setattr(
+            tester, "_load_and_encode",
+            lambda path: rng.normal(size=(1, 6)).astype(np.float32))
+        from craniofacialsd_vae_tpu.analysis import tester as tmodule
+        monkeypatch.setitem(tmodule.PROCEDURES2ATTRIBUTES, "monobloc",
+                            ["k1", "k2"])
+
+        out = tester.evaluate_pre_post_pair("a.obj", "b.obj", "p1",
+                                            procedure="monobloc")
+        assert np.isfinite(out["global_metric"])
+        assert np.isfinite(out["global_metric_l2"])
+        assert np.isfinite(out["global_metric_directional"])
+        assert set(out["region_metrics"]) == {"k1", "k2"}
+
+
+class TestConfusionMatrixLabels:
+    def test_region_confmats_with_unseen_prediction(self, tester):
+        """A region head predicting a class absent from the test labels
+        must not crash the heatmap (matrix built without labels= had one
+        more row than the tick-label list)."""
+        # latents near the class-2 mean (-3) while test labels only cover
+        # classes 0/1 → the stub QDA predicts '2' for some rows
+        mgr = tester._manager
+        mgr.idx2class = lambda idx: [["n", "a", "c"][int(i)] for i in
+                                     np.atleast_1d(idx)]
+        ts_z = np.concatenate([
+            np.zeros((3, 6), np.float32),            # class 0 region
+            np.full((3, 6), -3.0, np.float32),       # class 2 region
+        ])
+        ts_ly = np.array(["n", "n", "n", "a", "a", "a"])
+        tester.confusion_matrices_per_region(ts_z, ts_ly)
+        assert os.path.exists(os.path.join(tester._out_dir,
+                                           "region_confmats_qda.svg"))
+
+
 class TestPrePostBatchDriver:
     def test_angle_boxplots_per_syndrome(self, tester, tmp_path,
                                          monkeypatch):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -177,8 +178,9 @@ def main(argv=None):
         if args.on_quiet and "step_fp32_ms" in sample \
                 and (sample["step_fp32_ms"] / FP32_STEP_QUIET_MS
                      <= args.quiet_threshold
-                     or sample["step_fp32_ms"]
-                     < 0.7 * prev_fp32_floor) \
+                     or (math.isfinite(prev_fp32_floor)
+                         and sample["step_fp32_ms"]
+                         < 0.7 * prev_fp32_floor)) \
                 and (last_quiet_run is None or time.time() - last_quiet_run
                      > args.on_quiet_cooldown_s):
             last_quiet_run = time.time()

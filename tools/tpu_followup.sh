@@ -10,7 +10,9 @@ exec >"$LOG" 2>&1
 echo "=== tpu_followup start $(date) ==="
 # 1. wait for the tunnel (up to 6 h, probe every 60 s)
 for i in $(seq 1 360); do
-  if timeout 80 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256)); float((x@x)[0,0])" 2>/dev/null; then
+  # the platform must BE tpu — a host-CPU fallback would pass a bare
+  # matmul probe and stamp CPU rates into the chip logs
+  if timeout 80 python -c "import jax, jax.numpy as jnp; assert jax.devices()[0].platform == 'tpu'; x=jnp.ones((256,256)); float((x@x)[0,0])" 2>/dev/null; then
     echo "TPU recovered at $(date) (probe $i)"; break
   fi
   echo "probe $i: down $(date +%H:%M:%S)"

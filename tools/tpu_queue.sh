@@ -11,6 +11,23 @@ LOG=/tmp/tpu_queue
 stamp() { [ -f "$LOG/$1.done" ]; }
 mark()  { touch "$LOG/$1.done"; }
 
+# --- self-provisioning: the driver cleans untracked artifacts between
+# sessions, so rebuild anything a queue task needs before waiting on the
+# tunnel (all of this is CPU-only and idempotent).
+if [ ! -f native/libgeometry_kernels.so ]; then
+  echo "[queue] building native engine..." | tee -a $LOG/queue.log
+  make -C native > $LOG/native_build.log 2>&1 \
+    || echo "[queue] native build FAILED (ctypes fallback will be used)" \
+       | tee -a $LOG/queue.log
+fi
+if [ ! -d data_synth ] || [ "$(ls data_synth/*.obj 2>/dev/null | wc -l)" -lt 60 ]; then
+  echo "[queue] generating synthetic dataset..." | tee -a $LOG/queue.log
+  python tools/make_synthetic_dataset.py --out data_synth --n 60 \
+    > $LOG/dataset.log 2>&1 \
+    || { echo "[queue] dataset generation FAILED — aborting" \
+         | tee -a $LOG/queue.log; exit 1; }
+fi
+
 echo "[queue] waiting for TPU tunnel..." | tee -a $LOG/queue.log
 while true; do
   # require the default platform to BE tpu — a host-CPU fallback passing

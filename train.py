@@ -223,8 +223,13 @@ def main():
                       f"tot={manager._losses['tot']:.4f} "
                       f"({dt / (epoch - start_epoch):.2f}s/epoch)")
 
+    # trace the SECOND epoch (the first pays the compiles) — unless only
+    # one epoch runs, in which case trace it rather than silently
+    # capturing nothing
+    profile_epoch = start_epoch + 1 if epochs > start_epoch + 1 \
+        else start_epoch
     for epoch in range(epochs if use_chunks else start_epoch, epochs):
-        if args.profile and epoch == start_epoch + 1:
+        if args.profile and epoch == profile_epoch:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         te = time.time()
         manager.run_epoch(train_iter, train=True)
@@ -235,7 +240,7 @@ def main():
         manager.log_losses(writer, epoch, "train")
         manager.run_epoch(val_iter, train=False)
         manager.log_losses(writer, epoch, "validation")
-        if args.profile and epoch == start_epoch + 1:
+        if args.profile and epoch == profile_epoch:
             jax.profiler.stop_trace()
 
         if (epoch + 1) % log_freq["tb_renderings"] == 0 and eval_midtrain:
