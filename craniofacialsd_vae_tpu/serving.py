@@ -81,6 +81,49 @@ def classes_from_split(precomputed_path: str) -> dict:
     return class2idx
 
 
+def build_raw_programs(manager, normalization: dict) -> dict:
+    """The three raw-scan-space inference programs every deployment
+    surface shares — DiagnosisService jits them per bucket, and
+    ``export.py`` serializes them as ahead-of-time StableHLO artifacts.
+
+    Each is a pure ``fn(params, array)`` closing over the geometry
+    tables, normalization stats and mm scale:
+
+    - ``encode``:      raw [B, N, 3] → mu [B, Z]
+    - ``decode``:      z [B, Z] → raw [B, N, 3]
+    - ``reconstruct``: raw [B, N, 3] → (recon raw [B, N, 3],
+      per-vertex mm error [B, N], mu [B, Z]) in one dispatch
+    """
+    import jax.numpy as jnp
+
+    from .models import decode, encode
+
+    geom, config = manager.geometry, manager.net_config
+    mean = jnp.asarray(normalization["mean"], jnp.float32)
+    std = jnp.asarray(normalization["std"], jnp.float32)
+    to_mm = float(manager.to_mm_const)
+
+    def _encode_raw(params, x):          # raw [B, N, 3] → mu [B, Z]
+        xn = (x - mean) / std
+        mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
+        return mu
+
+    def _reconstruct_raw(params, x):
+        xn = (x - mean) / std
+        mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
+        out = jnp.swapaxes(decode(params, geom, config, mu), 0, 1)
+        recon = out * std + mean
+        err = jnp.sqrt(jnp.sum((recon - x) ** 2, axis=-1)) * to_mm
+        return recon, err, mu
+
+    def _decode_raw(params, z):          # [B, Z] → raw [B, N, 3]
+        out = jnp.swapaxes(decode(params, geom, config, z), 0, 1)
+        return out * std + mean
+
+    return {"encode": _encode_raw, "reconstruct": _reconstruct_raw,
+            "decode": _decode_raw}
+
+
 class DiagnosisService:
     """Batched inference over a trained manager. Thread-safe: device
     dispatch is serialized behind one lock (jit programs are shared)."""
@@ -89,9 +132,6 @@ class DiagnosisService:
                  healthy_class: str = "n", max_batch: int = 16,
                  data_parallel: bool = False):
         import jax
-        import jax.numpy as jnp
-
-        from .models import decode, encode
 
         from .analysis.tester import TEMPLATE_LANDMARKS_IDX
 
@@ -125,11 +165,6 @@ class DiagnosisService:
         self.n_requests = 0
         self.n_meshes = 0
 
-        geom, config = manager.geometry, manager.net_config
-        mean = jnp.asarray(normalization["mean"], jnp.float32)
-        std = jnp.asarray(normalization["std"], jnp.float32)
-        to_mm = float(manager.to_mm_const)
-
         jit_kwargs = {}
         self._mesh = None
         if self.n_devices > 1:
@@ -142,28 +177,11 @@ class DiagnosisService:
                 NamedSharding(mesh, PartitionSpec()),
                 NamedSharding(mesh, PartitionSpec("data")))
 
-        def _encode_raw(params, x):          # raw [B, N, 3] → mu [B, Z]
-            xn = (x - mean) / std
-            mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
-            return mu
-
-        def _reconstruct_raw(params, x):
-            """raw [B, N, 3] → (recon raw [B, N, 3], per-vertex mm error
-            [B, N], mu [B, Z]) in ONE dispatch."""
-            xn = (x - mean) / std
-            mu, _ = encode(params, geom, config, jnp.swapaxes(xn, 0, 1))
-            out = jnp.swapaxes(decode(params, geom, config, mu), 0, 1)
-            recon = out * std + mean
-            err = jnp.sqrt(jnp.sum((recon - x) ** 2, axis=-1)) * to_mm
-            return recon, err, mu
-
-        def _decode_raw(params, z):          # [B, Z] → raw [B, N, 3]
-            out = jnp.swapaxes(decode(params, geom, config, z), 0, 1)
-            return out * std + mean
-
-        self._jit_encode_raw = jax.jit(_encode_raw, **jit_kwargs)
-        self._jit_reconstruct_raw = jax.jit(_reconstruct_raw, **jit_kwargs)
-        self._jit_decode_raw = jax.jit(_decode_raw, **jit_kwargs)
+        programs = build_raw_programs(manager, normalization)
+        self._jit_encode_raw = jax.jit(programs["encode"], **jit_kwargs)
+        self._jit_reconstruct_raw = jax.jit(programs["reconstruct"],
+                                            **jit_kwargs)
+        self._jit_decode_raw = jax.jit(programs["decode"], **jit_kwargs)
         # The service serves a frozen checkpoint: pin the params once in
         # the layout the jits expect. Under data_parallel this replicates
         # them across the mesh ONCE — feeding the manager's single-device

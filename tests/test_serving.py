@@ -705,3 +705,112 @@ class TestHTTP:
             raised = True
             assert e.code == 404
         assert raised
+
+
+# --------------------------------------------------------------- export
+# Ahead-of-time StableHLO artifacts (craniofacialsd_vae_tpu/export.py):
+# the serialized programs must answer exactly like the live service —
+# same build_raw_programs, so the oracle is bit-level parity — while
+# needing nothing from the run dir after export.
+
+
+@pytest.fixture(scope="module")
+def exported(served_run, tmp_path_factory):
+    from craniofacialsd_vae_tpu.export import export_run_dir, load_exported
+    out = str(tmp_path_factory.mktemp("export") / "artifact")
+    manifest = export_run_dir(served_run["run_dir"], out, buckets=(1, 2, 4))
+    return {"dir": out, "manifest": manifest, "model": load_exported(out)}
+
+
+def test_export_matches_service(served_run, service, exported):
+    """Serialized encode/decode/reconstruct == the live jitted programs
+    (identical fn + identical params ⇒ identical numerics)."""
+    raw = served_run["raw"][:2]
+    model = exported["model"]
+    mu = model.encode(raw)
+    np.testing.assert_allclose(mu, service.encode(raw), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(model.decode(mu), service.decode(mu),
+                               rtol=1e-5, atol=1e-6)
+    rec = model.reconstruct(raw)
+    rec_live = service.reconstruct(raw)
+    np.testing.assert_allclose(rec["recon"], rec_live["vertices"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rec["error_mm"],
+                               rec_live["vertex_errors_mm"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_bucket_pad_trim_and_chunking(served_run, exported):
+    """A batch above the largest bucket streams in chunks; every row must
+    equal its single-mesh answer (padding rows never leak)."""
+    model = exported["model"]
+    raw = served_run["raw"]  # 5 meshes > largest bucket 4 → chunks 4+1
+    mu = model.encode(raw)
+    assert mu.shape == (5, model.latent_size)
+    for i in range(raw.shape[0]):
+        np.testing.assert_allclose(mu[i], model.encode(raw[i]),
+                                   rtol=1e-5, atol=1e-6)
+    # single-input convenience shapes
+    rec = model.reconstruct(raw[0])
+    assert rec["recon"].shape == raw[0].shape
+    assert rec["error_mm"].shape == (model.n_vertices,)
+    assert model.decode(mu[0]).shape == raw[0].shape
+
+
+def test_export_is_self_contained(served_run, exported, tmp_path):
+    """The artifact dir must run with the run dir gone: copy it away and
+    load from a process-fresh ExportedModel (no manager, no checkpoint,
+    no precomputed geometry on the path)."""
+    import shutil
+
+    from craniofacialsd_vae_tpu.export import load_exported
+    moved = str(tmp_path / "deployed")
+    shutil.copytree(exported["dir"], moved)
+    model = load_exported(moved)
+    raw = served_run["raw"][:1]
+    np.testing.assert_allclose(model.encode(raw),
+                               exported["model"].encode(raw),
+                               rtol=1e-6, atol=1e-7)
+    man = exported["manifest"]
+    assert man["buckets"] == [1, 2, 4]
+    assert set(man["programs"]) == {
+        f"{p}_b{b}" for p in ("encode", "decode", "reconstruct")
+        for b in (1, 2, 4)}
+    assert man["n_vertices"] == model.n_vertices
+    assert man["to_mm_constant"] == served_run["config"]["data"][
+        "to_mm_constant"]
+
+
+def test_export_input_validation(exported, tmp_path):
+    from craniofacialsd_vae_tpu.export import load_exported
+    model = exported["model"]
+    with pytest.raises(FileNotFoundError, match="export directory"):
+        load_exported(str(tmp_path))
+    with pytest.raises(ValueError, match="vertices"):
+        model.encode(np.zeros((2, 5, 3), np.float32))
+    with pytest.raises(ValueError, match="latent"):
+        model.decode(np.zeros((2, 3), np.float32))
+    with pytest.raises(ValueError, match="empty"):
+        model.encode(np.zeros((0, model.n_vertices, 3), np.float32))
+
+
+def test_export_cli_subprocess(served_run, tmp_path):
+    """tools/export_model.py end-to-end: export + --verify in a fresh
+    process, then load the artifacts back here."""
+    import subprocess
+    import sys as _sys
+
+    from craniofacialsd_vae_tpu.export import load_exported
+    out = str(tmp_path / "cli_artifact")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "export_model.py"),
+         "--run_dir", served_run["run_dir"], "--out", out,
+         "--buckets", "1", "2", "--platform", "cpu", "--verify"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "verification passed" in proc.stdout
+    model = load_exported(out)
+    raw = served_run["raw"][:2]
+    assert model.encode(raw).shape == (2, model.latent_size)
