@@ -1148,6 +1148,62 @@ class Tester:
                   self._manager.template.face, rgba)
 
     # ------------------------------------------------------------------
+    # diagnostic saliency (new surface; the reference offers no
+    # explanation of its classifier outputs)
+    def saliency_maps(self, n_meshes=4, healthy_class="n",
+                      save_artifacts=True) -> list:
+        """Gradient attribution of the QDA diagnosis onto the scan
+        surface for the first test meshes: which vertices — and which
+        anatomical regions — drive each prediction away from the healthy
+        class (analysis/saliency.py; one jitted reverse-mode dispatch for
+        the whole batch). Writes ``saliency/<i>_saliency.ply`` (plasma
+        per-vertex colormap), ``saliency/saliency_maps.png`` (shadeless
+        render grid on a shared scale) and ``saliency/report.json``;
+        returns the per-mesh report list."""
+        from ..viz.colors import errors_to_colors
+        from .saliency import make_saliency_fn, region_attribution
+
+        mgr = self._manager
+        if mgr.classifiers is None or mgr.classifiers.qda is None:
+            raise RuntimeError("saliency_maps needs the fitted QDA head")
+        qda = mgr.classifiers.qda
+        batch = next(iter(self._test_iter))
+        raw = self._unnormalize(np.asarray(batch["x"],
+                                           np.float32))[:n_meshes]
+        fn = jax.jit(make_saliency_fn(
+            mgr, self._norm, qda, mgr.class2idx(healthy_class)))
+        sal, margin, pred, ref, _, _ = [
+            np.asarray(r) for r in fn(mgr.state.params, raw)]
+        qda_classes = np.asarray(qda.classes)
+        out_dir = os.path.join(self._out_dir, "saliency")
+        if save_artifacts:
+            os.makedirs(out_dir, exist_ok=True)
+        reports = []
+        for i in range(len(raw)):
+            reports.append({
+                "mesh": i,
+                "label": mgr.idx2class(int(qda_classes[pred[i]])),
+                "reference_class": mgr.idx2class(int(qda_classes[ref[i]])),
+                "margin_nats": float(margin[i]),
+                "regions": region_attribution(sal[i], mgr.template),
+            })
+            if save_artifacts:
+                cols = errors_to_colors(sal[i], 0, sal[i].max() or 1.0,
+                                        "plasma")
+                rgba = np.concatenate(
+                    [cols, np.full((len(cols), 1), 255, np.uint8)], axis=1)
+                write_ply(os.path.join(out_dir, f"{i}_saliency.ply"),
+                          raw[i], mgr.template.face, rgba)
+        if save_artifacts:
+            grid = make_image_grid(
+                self._render(raw, sal, float(sal.max()) or 1.0), nrow=4)
+            self._save_image(os.path.join(out_dir, "saliency_maps.png"),
+                             grid)
+            with open(os.path.join(out_dir, "report.json"), "w") as f:
+                json.dump(reports, f, indent=1)
+        return reports
+
+    # ------------------------------------------------------------------
     # mesh fitting (reference test.py:336-520)
     def fit_mesh(self, mesh_path, landmarks, lr=5e-3, iterations=250,
                  n_restarts=16, seed=0, save_artifacts=False):

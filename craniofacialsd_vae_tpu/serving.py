@@ -182,6 +182,9 @@ class DiagnosisService:
         self._jit_reconstruct_raw = jax.jit(programs["reconstruct"],
                                             **jit_kwargs)
         self._jit_decode_raw = jax.jit(programs["decode"], **jit_kwargs)
+        self._jit_kwargs = jit_kwargs
+        self._jit_saliency_raw = None   # built lazily (reverse-mode
+        # program; most deployments never request attribution maps)
         # The service serves a frozen checkpoint: pin the params once in
         # the layout the jits expect. Under data_parallel this replicates
         # them across the mesh ONCE — feeding the manager's single-device
@@ -416,6 +419,53 @@ class DiagnosisService:
         if single:
             out = {k: v[0] for k, v in out.items()}
         return out
+
+    def saliency(self, vertices, include_vertex_saliency: bool = True,
+                 model: str = "qda") -> list:
+        """Raw scans → diagnosis reports with gradient attribution: which
+        vertices (and anatomical regions) drive each QDA prediction away
+        from the healthy class (analysis/saliency.py — normalize → encode
+        → QDA margin → reverse-mode gradient, one bucketed dispatch).
+        Each report extends the `model`-head diagnosis with
+        ``saliency_label`` / ``saliency_reference_class`` (the QDA pair
+        the margin explains), ``margin_nats``, the sorted per-region
+        attribution table, and (unless ``include_vertex_saliency=False``)
+        the per-vertex map in nats/mm."""
+        import jax
+
+        t0 = time.perf_counter()
+        x, single = self._as_batch(vertices)
+        mgr = self.manager
+        qda = mgr.classifiers.qda
+        with self._lock:
+            if self._jit_saliency_raw is None:
+                from .analysis.saliency import make_saliency_fn
+                if self.healthy_class not in mgr._class2idx_dict:
+                    raise ValueError(
+                        f"healthy class {self.healthy_class!r} is not "
+                        f"among the run's classes "
+                        f"{sorted(mgr._class2idx_dict)}")
+                self._jit_saliency_raw = jax.jit(
+                    make_saliency_fn(mgr, self.normalization, qda,
+                                     mgr.class2idx(self.healthy_class)),
+                    **self._jit_kwargs)
+            sal, margin, pred, ref, _, mu = self._run_bucketed(
+                self._jit_saliency_raw, x)
+            self._observe(x.shape[0], t0)
+        from .analysis.saliency import region_attribution
+        reports = self._diagnosis_reports(np.asarray(mu), model,
+                                          include_latent=False)
+        qda_classes = np.asarray(qda.classes)
+        for i, rep in enumerate(reports):
+            rep["saliency_label"] = mgr.idx2class(int(qda_classes[pred[i]]))
+            rep["saliency_reference_class"] = \
+                mgr.idx2class(int(qda_classes[ref[i]]))
+            rep["margin_nats"] = float(margin[i])
+            rep["regions"] = region_attribution(sal[i], mgr.template)
+            if include_vertex_saliency:
+                rep["vertex_saliency_nats_per_mm"] = \
+                    np.asarray(sal[i], np.float32)
+        return reports[0] if single else reports
 
     def fit(self, vertices, landmarks, lr: float = 5e-3,
             iterations: int = 250, n_restarts: int = 16,

@@ -15,6 +15,8 @@ and runs the selected experiment:
   prepost_batch — every pair in --pairs_excel under --pairs_root, with
                  per-syndrome region/angle boxplots (reference default)
   fit          — fit an unregistered scan: --mesh + --landmarks json
+  saliency     — gradient attribution of the QDA diagnosis (per-vertex
+                 colormaps + per-region table for the first test meshes)
 """
 
 from __future__ import annotations
@@ -143,6 +145,17 @@ def main():
                                                     args.pairs_excel)
         print("pre/post batch evaluation written to "
               f"{os.path.join(output_dir, 'pre_post_eval_plots')}")
+    elif exp == "saliency":
+        # gradient attribution of the QDA diagnosis for the first test
+        # meshes (new surface — the reference offers no explanation of
+        # its classifier outputs)
+        reports = tester.saliency_maps()
+        print(json.dumps([{k: v for k, v in r.items() if k != "regions"}
+                          | {"top_regions": [x["attribute"]
+                                             for x in r["regions"][:3]]}
+                          for r in reports], indent=1))
+        print(f"saliency PLYs/renders written to "
+              f"{os.path.join(output_dir, 'saliency')}")
     elif exp == "fit":
         assert args.mesh and args.landmarks, "--mesh + --landmarks required"
         result = tester.fit_mesh(args.mesh, args.landmarks,

@@ -166,6 +166,60 @@ def test_diagnose_reports(served_run, service):
     assert single["label"] in classes
 
 
+def test_saliency_reports(served_run, service):
+    """service.saliency extends the diagnosis report with gradient
+    attribution; parity with the direct saliency program, invariance to
+    bucketing, and the single-input convenience shape."""
+    import jax
+
+    from craniofacialsd_vae_tpu.analysis.saliency import (make_saliency_fn,
+                                                          region_attribution)
+
+    mgr = served_run["manager"]
+    raw = served_run["raw"][:3]
+    reports = service.saliency(raw)
+    assert len(reports) == 3
+
+    fn = jax.jit(make_saliency_fn(mgr, service.normalization,
+                                  mgr.classifiers.qda, mgr.class2idx("n")))
+    sal, margin, pred, ref, _, mu = [
+        np.asarray(r) for r in fn(mgr.state.params, raw)]
+    qda_classes = np.asarray(mgr.classifiers.qda.classes)
+    diag = service.diagnose(raw)
+    for i, rep in enumerate(reports):
+        assert rep["label"] == diag[i]["label"]
+        assert rep["saliency_label"] == \
+            mgr.idx2class(int(qda_classes[pred[i]]))
+        assert rep["saliency_reference_class"] == \
+            mgr.idx2class(int(qda_classes[ref[i]]))
+        assert rep["margin_nats"] == pytest.approx(float(margin[i]),
+                                                   rel=1e-4, abs=1e-5)
+        # the service pads B=3 to the 4-bucket — a different XLA program
+        # than the unpadded reference run, so values match to float
+        # tolerance rather than bit-exactly
+        np.testing.assert_allclose(rep["vertex_saliency_nats_per_mm"],
+                                   sal[i], rtol=1e-3, atol=1e-6)
+        ref_regions = region_attribution(sal[i], mgr.template)
+        assert [r["region"] for r in rep["regions"]] == \
+            [r["region"] for r in ref_regions]
+        np.testing.assert_allclose(
+            [r["share"] for r in rep["regions"]],
+            [r["share"] for r in ref_regions], rtol=1e-4)
+    # bucket invariance: a single-mesh request returns the same map
+    one = service.saliency(raw[0])
+    assert isinstance(one, dict)
+    np.testing.assert_allclose(one["vertex_saliency_nats_per_mm"],
+                               sal[0], rtol=1e-4, atol=1e-7)
+    # opt-out of the per-vertex payload keeps the region table
+    lean = service.saliency(raw[:1], include_vertex_saliency=False)[0]
+    assert "vertex_saliency_nats_per_mm" not in lean
+    assert [r["region"] for r in lean["regions"]] == \
+        [r["region"] for r in reports[0]["regions"]]
+    np.testing.assert_allclose(
+        [r["share"] for r in lean["regions"]],
+        [r["share"] for r in reports[0]["regions"]], rtol=1e-4)
+
+
 def test_reconstruct_errors_in_mm(served_run, service):
     raw = served_run["raw"]
     out = service.reconstruct(raw[:2])
@@ -647,6 +701,25 @@ class TestHTTP:
         assert "label" in rep and "posteriors" in rep
         dec = self._post(server + "/decode", {"latent": [rep["latent"]]})
         assert np.asarray(dec["vertices"]).shape == raw.shape
+
+    def test_saliency_endpoint(self, served_run, service, server):
+        raw = served_run["raw"][:2]
+        out = self._post(server + "/saliency",
+                         {"vertices": raw.tolist(),
+                          "include_vertex_saliency": False})
+        reps = out["reports"]
+        assert len(reps) == 2
+        direct = service.saliency(raw, include_vertex_saliency=False)
+        for rep, ref in zip(reps, direct):
+            assert rep["label"] == ref["label"]
+            assert rep["saliency_label"] == ref["saliency_label"]
+            assert [r["region"] for r in rep["regions"]] == \
+                [r["region"] for r in ref["regions"]]
+            assert "vertex_saliency_nats_per_mm" not in rep
+        one = self._post(server + "/saliency",
+                         {"vertices": raw[0].tolist()})
+        n = served_run["manager"].template.num_vertices
+        assert len(one["reports"]["vertex_saliency_nats_per_mm"]) == n
 
     def test_fit_endpoint(self, served_run, service, server):
         mgr = served_run["manager"]

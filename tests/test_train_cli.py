@@ -113,6 +113,23 @@ def test_eval_cli_interpolate(cli_workspace, smoke_run):
                                        "interpolate_per_feature.png"))
 
 
+def test_eval_cli_saliency(cli_workspace, smoke_run):
+    """test.py --experiment=saliency through the real CLI: per-mesh
+    attribution JSON on stdout and the colormap artifacts on disk."""
+    import json
+
+    root, _ = cli_workspace
+    proc, out_dir = _run_eval_cli(root, "cli_smoke", "saliency")
+    assert "saliency PLYs/renders written" in proc.stdout
+    sal_dir = os.path.join(out_dir, "saliency")
+    with open(os.path.join(sal_dir, "report.json")) as f:
+        reports = json.load(f)
+    assert reports and all("regions" in r and "label" in r
+                           for r in reports)
+    assert os.path.exists(os.path.join(sal_dir, "0_saliency.ply"))
+    assert os.path.exists(os.path.join(sal_dir, "saliency_maps.png"))
+
+
 def test_visualize_in_batch_cli(cli_workspace):
     """visualize_in_batch.py end-to-end on the synthetic template: 16
     swapped colored PLYs (one per swap-grid cell)."""

@@ -11,6 +11,11 @@ with Content-Type: application/octet-stream):
                         → {"latent": [[...]...]}
     POST /diagnose      same body (+ optional "model": qda|lda|svm|mlp)
                         → per-mesh {label, posteriors, mahalanobis, latent}
+    POST /saliency      same body (+ optional "model",
+                        "include_vertex_saliency": false) → per-mesh
+                        diagnosis + gradient attribution: saliency_label
+                        vs saliency_reference_class margin, per-region
+                        attribution table, per-vertex nats/mm map
     POST /reconstruct   same body → {vertices, vertex_errors_mm,
                         mean_error_mm, latent}
     POST /decode        {"latent": [[...]...]} → {"vertices": ...}
@@ -95,6 +100,15 @@ def make_handler(service):
                 elif self.path == "/diagnose":
                     reports = service.diagnose(
                         np.asarray(body["vertices"], np.float32),
+                        model=body.get("model", "qda")
+                        if isinstance(body, dict) else "qda")
+                    self._reply(200, {"reports": reports})
+                elif self.path == "/saliency":
+                    reports = service.saliency(
+                        np.asarray(body["vertices"], np.float32),
+                        include_vertex_saliency=bool(
+                            body.get("include_vertex_saliency", True))
+                        if isinstance(body, dict) else True,
                         model=body.get("model", "qda")
                         if isinstance(body, dict) else "qda")
                     self._reply(200, {"reports": reports})
