@@ -38,8 +38,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["qda_log_posterior_constants", "make_margin_fn",
-           "make_saliency_fn", "region_attribution"]
+__all__ = ["qda_log_posterior_constants", "make_qda_log_posterior",
+           "make_margin_fn", "make_saliency_fn", "region_attribution"]
 
 
 def qda_log_posterior_constants(qda) -> dict:
@@ -66,6 +66,27 @@ def qda_log_posterior_constants(qda) -> dict:
             "log_offsets": log_offsets.astype(np.float32)}
 
 
+def make_qda_log_posterior(qda):
+    """jnp closure over the padded constants: latents [B, D] →
+    log-posteriors [B, C] (log prior + Gaussian log-pdf up to the shared
+    normalizer), exactly equal to :meth:`QDAClassifier.log_posteriors`.
+    Shared by the saliency margin and the posterior-sampling uncertainty
+    programs (analysis/uncertainty.py)."""
+    import jax.numpy as jnp
+
+    consts = qda_log_posterior_constants(qda)
+    q_means = jnp.asarray(consts["means"])
+    q_srot = jnp.asarray(consts["scaled_rot"])
+    q_off = jnp.asarray(consts["log_offsets"])
+
+    def log_post(z):                                 # [B, D] → [B, C]
+        diff = z[:, None, :] - q_means[None]         # [B, C, D]
+        proj = jnp.einsum("bcd,cdr->bcr", diff, q_srot)
+        return -0.5 * jnp.sum(proj * proj, axis=-1) + q_off
+
+    return log_post
+
+
 def make_margin_fn(manager, normalization: dict, qda,
                    healthy_class_idx: int):
     """Build the jittable diagnosis-margin program.
@@ -89,16 +110,8 @@ def make_margin_fn(manager, normalization: dict, qda,
     std = jnp.asarray(normalization["std"], jnp.float32)
     healthy_pos = qda._class_index(healthy_class_idx)
 
-    consts = qda_log_posterior_constants(qda)
-    q_means = jnp.asarray(consts["means"])
-    q_srot = jnp.asarray(consts["scaled_rot"])
-    q_off = jnp.asarray(consts["log_offsets"])
-    n_classes = q_means.shape[0]
-
-    def _log_post(mu):                               # [B, D] → [B, C]
-        diff = mu[:, None, :] - q_means[None]        # [B, C, D]
-        proj = jnp.einsum("bcd,cdr->bcr", diff, q_srot)
-        return -0.5 * jnp.sum(proj * proj, axis=-1) + q_off
+    _log_post = make_qda_log_posterior(qda)
+    n_classes = len(qda.classes)
 
     def margin_fn(params, x_raw):
         xn = (x_raw - mean) / std

@@ -1204,6 +1204,52 @@ class Tester:
         return reports
 
     # ------------------------------------------------------------------
+    # diagnosis uncertainty (new surface; the reference's diagnosis is a
+    # bare point label)
+    def diagnosis_uncertainty(self, n_meshes=8, n_samples=64, seed=0,
+                              agreement_threshold=0.9,
+                              save_artifacts=True) -> list:
+        """Posterior-sampling uncertainty of the QDA diagnosis for the
+        first test meshes (analysis/uncertainty.py; VAE runs only): the
+        encoder posterior q(z|x) is sampled ``n_samples`` times and every
+        sample classified — ONE jitted dispatch per batch. Each report
+        carries the point label, the fraction of samples agreeing with
+        it, per-class vote counts, posterior mean/std, predictive
+        entropy, and ``flagged`` when agreement falls below
+        ``agreement_threshold`` (the scans a clinician should review).
+        Writes ``uncertainty/report.json``; returns the report list."""
+        from .uncertainty import make_uncertainty_fn, summarize_uncertainty
+
+        mgr = self._manager
+        if mgr.classifiers is None or mgr.classifiers.qda is None:
+            raise RuntimeError(
+                "diagnosis_uncertainty needs the fitted QDA head")
+        qda = mgr.classifiers.qda
+        raws = []
+        for batch in self._test_iter:
+            raws.append(self._unnormalize(np.asarray(batch["x"],
+                                                     np.float32)))
+            if sum(len(r) for r in raws) >= n_meshes:
+                break
+        raw = np.concatenate(raws, axis=0)[:n_meshes]
+        fn = jax.jit(make_uncertainty_fn(mgr, self._norm, qda,
+                                         int(n_samples)))
+        mu, lp_mu, sample_lp, sample_pred, _ = fn(
+            mgr.state.params, raw, jax.random.PRNGKey(int(seed)))
+        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
+        reports = summarize_uncertainty(lp_mu, sample_lp, sample_pred,
+                                        qda.classes, idx2class)
+        for i, rep in enumerate(reports):
+            rep["mesh"] = i
+            rep["flagged"] = rep["label_agreement"] < agreement_threshold
+        if save_artifacts:
+            out_dir = os.path.join(self._out_dir, "uncertainty")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "report.json"), "w") as f:
+                json.dump(reports, f, indent=1)
+        return reports
+
+    # ------------------------------------------------------------------
     # mesh fitting (reference test.py:336-520)
     def fit_mesh(self, mesh_path, landmarks, lr=5e-3, iterations=250,
                  n_restarts=16, seed=0, save_artifacts=False):

@@ -185,6 +185,7 @@ class DiagnosisService:
         self._jit_kwargs = jit_kwargs
         self._jit_saliency_raw = None   # built lazily (reverse-mode
         # program; most deployments never request attribution maps)
+        self._jit_uncertainty: dict = {}  # lazily, keyed by sample count
         # The service serves a frozen checkpoint: pin the params once in
         # the layout the jits expect. Under data_parallel this replicates
         # them across the mesh ONCE — feeding the manager's single-device
@@ -360,16 +361,74 @@ class DiagnosisService:
             self._observe(z.shape[0], t0)
         return out[0] if single else out
 
-    def diagnose(self, vertices, model: str = "qda") -> list:
+    def diagnose(self, vertices, model: str = "qda",
+                 n_samples: int = 0, seed: int = 0) -> list:
         """Raw scans → per-mesh diagnosis reports: predicted label, QDA
         class posteriors, and Mahalanobis distance to the healthy-class
         Gaussian (the planning/assessment metric). `model` picks the
         predicting head (qda/lda/svm/mlp), posteriors are always QDA
-        (the only probabilistic head — reference mm.py:516-546)."""
+        (the only probabilistic head — reference mm.py:516-546).
+
+        With ``n_samples > 0`` (VAE runs only) each report gains an
+        ``uncertainty`` block: the encoder posterior q(z|x) is sampled
+        ``n_samples`` times, every sample is QDA-classified, and the
+        spread is summarized (label agreement, per-class vote counts,
+        posterior mean/std, predictive entropy —
+        analysis/uncertainty.py). Still ONE device dispatch: the
+        sampling program returns mu alongside the sample posteriors.
+        Per-scan noise is folded by row index, so results don't depend
+        on bucket padding; across `max_batch` chunks the fold restarts
+        (chunk-local row ids), which only correlates eps draws BETWEEN
+        scans — each scan's own summary is unaffected."""
         x, single = self._as_batch(vertices)
-        mu = self.encode(x)
-        reports = self._diagnosis_reports(mu, model, include_latent=True)
+        if not n_samples:
+            mu = self.encode(x)
+            reports = self._diagnosis_reports(mu, model,
+                                              include_latent=True)
+            return reports[0] if single else reports
+
+        import jax
+
+        from .analysis.uncertainty import summarize_uncertainty
+
+        t0 = time.perf_counter()
+        mgr = self.manager
+        with self._lock:
+            fn = self._uncertainty_jit(int(n_samples))
+            key = jax.random.PRNGKey(int(seed))
+            mu, lp_mu, sample_lp, sample_pred, _ = self._run_bucketed(
+                lambda p, c: fn(p, c, key), x)
+            self._observe(x.shape[0], t0)
+        reports = self._diagnosis_reports(np.asarray(mu), model,
+                                          include_latent=True)
+        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
+        unc = summarize_uncertainty(lp_mu, sample_lp, sample_pred,
+                                    mgr.classifiers.qda.classes,
+                                    idx2class)
+        for rep, u in zip(reports, unc):
+            rep["uncertainty"] = u
         return reports[0] if single else reports
+
+    def _uncertainty_jit(self, n_samples: int):
+        """Cached jitted posterior-sampling program per sample count
+        (each K is a different static shape). Caller holds the lock."""
+        fn = self._jit_uncertainty.get(n_samples)
+        if fn is None:
+            import jax
+
+            from .analysis.uncertainty import make_uncertainty_fn
+
+            kwargs = dict(self._jit_kwargs)
+            if "in_shardings" in kwargs:
+                p_sh, x_sh = kwargs["in_shardings"]
+                # the PRNG key rides replicated, like the params
+                kwargs["in_shardings"] = (p_sh, x_sh, p_sh)
+            fn = jax.jit(
+                make_uncertainty_fn(self.manager, self.normalization,
+                                    self.manager.classifiers.qda,
+                                    n_samples), **kwargs)
+            self._jit_uncertainty[n_samples] = fn
+        return fn
 
     def _diagnosis_reports(self, mu: np.ndarray, model: str,
                            include_latent: bool) -> list:

@@ -17,6 +17,9 @@ and runs the selected experiment:
   fit          — fit an unregistered scan: --mesh + --landmarks json
   saliency     — gradient attribution of the QDA diagnosis (per-vertex
                  colormaps + per-region table for the first test meshes)
+  uncertainty  — posterior-sampling uncertainty of the QDA diagnosis
+                 (label agreement / vote counts / predictive entropy for
+                 the first test meshes; VAE runs only)
 """
 
 from __future__ import annotations
@@ -156,6 +159,16 @@ def main():
                           for r in reports], indent=1))
         print(f"saliency PLYs/renders written to "
               f"{os.path.join(output_dir, 'saliency')}")
+    elif exp == "uncertainty":
+        # posterior-sampling uncertainty of the diagnosis (new surface —
+        # the reference's diagnosis is a bare point label)
+        reports = tester.diagnosis_uncertainty()
+        print(json.dumps([{k: r[k] for k in
+                           ("mesh", "label", "label_agreement",
+                            "predictive_entropy_nats", "flagged")}
+                          for r in reports], indent=1))
+        print(f"uncertainty report written to "
+              f"{os.path.join(output_dir, 'uncertainty')}")
     elif exp == "fit":
         assert args.mesh and args.landmarks, "--mesh + --landmarks required"
         result = tester.fit_mesh(args.mesh, args.landmarks,

@@ -290,6 +290,43 @@ def test_region_attribution_flagship_attribute_names():
         assert COLOUR2ATTRIBUTE[r["region"]] == r["attribute"]
 
 
+def test_tester_diagnosis_uncertainty(saliency_ws, tmp_path):
+    """Tester.diagnosis_uncertainty: reports for the first test meshes
+    with the summary invariants, threshold-driven flagging, and the JSON
+    artifact; deterministic per seed."""
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.data.dataset import BatchIterator
+
+    mgr = saliency_ws["manager"]
+    out_dir = str(tmp_path / "out")
+    tester = Tester(mgr, saliency_ws["norm"],
+                    BatchIterator(saliency_ws["train"], 2, shuffle=False),
+                    BatchIterator(saliency_ws["test"], 2, shuffle=False,
+                                  drop_last=False),
+                    out_dir, saliency_ws["config"], lazy_stats=True)
+    k = 12
+    reports = tester.diagnosis_uncertainty(n_meshes=3, n_samples=k,
+                                           seed=4)
+    assert len(reports) == min(3, len(saliency_ws["test"].x))
+    classes = set(mgr._class2idx_dict)
+    for i, rep in enumerate(reports):
+        assert rep["mesh"] == i
+        assert rep["label"] in classes
+        assert 0.0 <= rep["label_agreement"] <= 1.0
+        assert sum(rep["sample_votes"].values()) == k
+        assert rep["flagged"] == (rep["label_agreement"] < 0.9)
+        assert abs(sum(rep["posterior_mean"].values()) - 1.0) < 1e-9
+    with open(os.path.join(out_dir, "uncertainty", "report.json")) as f:
+        assert json.load(f) == reports
+    # everything-flagged at an impossible threshold; deterministic per seed
+    again = tester.diagnosis_uncertainty(n_meshes=3, n_samples=k, seed=4,
+                                         agreement_threshold=1.1,
+                                         save_artifacts=False)
+    assert all(r["flagged"] for r in again)
+    for a, b in zip(again, reports):
+        assert a["posterior_mean"] == b["posterior_mean"]
+
+
 def test_tester_saliency_maps_artifacts(saliency_ws, tmp_path):
     from craniofacialsd_vae_tpu.analysis.tester import Tester
     from craniofacialsd_vae_tpu.data.dataset import BatchIterator

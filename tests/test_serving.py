@@ -220,6 +220,152 @@ def test_saliency_reports(served_run, service):
         [r["share"] for r in reports[0]["regions"]], rtol=1e-4)
 
 
+def test_uncertainty_program_oracle(served_run, service):
+    """The posterior-sampling program's sample log-posteriors must equal
+    the numpy QDA head on the very z samples it drew, mu must match the
+    plain encode, samples must follow q(z|x) = N(mu, exp(logvar)), and a
+    row's draw must not depend on the batch size (the eps fold is by row
+    index — the bucket-padding invariant)."""
+    import jax
+
+    from craniofacialsd_vae_tpu.analysis.uncertainty import \
+        make_uncertainty_fn
+
+    mgr, norm = served_run["manager"], served_run["norm"]
+    raw = served_run["raw"]
+    qda = mgr.classifiers.qda
+    k = 16
+    fn = jax.jit(make_uncertainty_fn(mgr, norm, qda, k))
+    key = jax.random.PRNGKey(0)
+    mu, lp_mu, sample_lp, sample_pred, z = [
+        np.asarray(r) for r in fn(mgr.state.params, raw[:2], key)]
+    b, zdim = mu.shape
+    assert sample_lp.shape == (b, k, len(qda.classes))
+    assert z.shape == (b, k, zdim)
+
+    xn = (raw[:2] - norm["mean"]) / norm["std"]
+    np.testing.assert_allclose(mu, np.asarray(mgr.encode(xn)),
+                               rtol=1e-4, atol=1e-5)
+    # numpy-head parity on the program's own samples
+    lp_ref = qda.log_posteriors(z.reshape(-1, zdim)).reshape(b, k, -1)
+    np.testing.assert_allclose(sample_lp, lp_ref, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(lp_mu, qda.log_posteriors(mu),
+                               rtol=2e-3, atol=1e-3)
+    assert (sample_pred == np.argmax(sample_lp, axis=-1)).all()
+    # the standardized residuals are the N(0, 1) eps draws: sigma from
+    # the model's own logvar head
+    import jax.numpy as jnp
+
+    from craniofacialsd_vae_tpu.models import encode as model_encode
+    _, logvar = model_encode(mgr.state.params, mgr.geometry,
+                             mgr.net_config,
+                             jnp.swapaxes(jnp.asarray(xn), 0, 1))
+    sigma = np.exp(0.5 * np.asarray(logvar))
+    eps_hat = (z - mu[:, None, :]) / sigma[:, None, :]
+    # b·k·zdim = 192 draws: loose moment bounds catch scale/shift bugs
+    assert abs(eps_hat.mean()) < 0.3
+    assert 0.7 < eps_hat.std() < 1.3
+    # row draws independent of batch size: same rows inside a bigger batch
+    mu4, _, sample_lp4, _, z4 = [
+        np.asarray(r) for r in fn(mgr.state.params, raw[:4], key)]
+    np.testing.assert_allclose(z4[:2], z, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sample_lp4[:2], sample_lp,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_uncertainty_requires_vae_and_valid_k(served_run):
+    import types
+
+    from craniofacialsd_vae_tpu.analysis.uncertainty import \
+        make_uncertainty_fn
+
+    mgr = served_run["manager"]
+    fake = types.SimpleNamespace(
+        net_config=types.SimpleNamespace(is_vae=False))
+    with pytest.raises(ValueError, match="posterior"):
+        make_uncertainty_fn(fake, served_run["norm"],
+                            mgr.classifiers.qda, 8)
+    with pytest.raises(ValueError, match="n_samples"):
+        make_uncertainty_fn(mgr, served_run["norm"],
+                            mgr.classifiers.qda, 0)
+
+
+def test_summarize_uncertainty_math():
+    """Pure-numpy invariants of the host-side summary: a one-hot sample
+    set gives agreement 1 and ~zero entropy; votes always sum to K;
+    posterior means are valid distributions."""
+    from craniofacialsd_vae_tpu.analysis.uncertainty import \
+        summarize_uncertainty
+
+    qda_classes = np.array([0, 2, 3])
+    idx2class = {0: "a", 2: "c", 3: "n"}
+    # scan 0: all samples agree with the point argmax (class pos 1);
+    # scan 1: samples split 2/2 between pos 0 and pos 2, point pos 0
+    lp_mu = np.array([[0.0, 5.0, -1.0], [3.0, 0.0, 2.9]])
+    big = 50.0
+    sample_lp = np.stack([
+        np.tile([0.0, big, 0.0], (4, 1)),
+        np.array([[big, 0, 0], [0, 0, big], [big, 0, 0], [0, 0, big]]),
+    ])
+    pred = np.argmax(sample_lp, axis=-1).astype(np.int32)
+    reps = summarize_uncertainty(lp_mu, sample_lp, pred, qda_classes,
+                                 idx2class)
+    assert reps[0]["label"] == "c" and reps[1]["label"] == "a"
+    assert reps[0]["label_agreement"] == 1.0
+    assert reps[0]["sample_votes"] == {"a": 0, "c": 4, "n": 0}
+    assert reps[0]["predictive_entropy_nats"] == pytest.approx(0.0,
+                                                               abs=1e-6)
+    assert reps[1]["label_agreement"] == 0.5
+    assert reps[1]["sample_votes"] == {"a": 2, "c": 0, "n": 2}
+    # max-entropy direction: the 2/2 split's entropy is ~ln 2
+    assert reps[1]["predictive_entropy_nats"] == pytest.approx(
+        np.log(2), rel=1e-3)
+    for rep in reps:
+        assert sum(rep["sample_votes"].values()) == rep["n_samples"] == 4
+        assert sum(rep["posterior_mean"].values()) == pytest.approx(1.0)
+        assert all(v >= 0 for v in rep["posterior_std"].values())
+
+
+def test_diagnose_with_uncertainty(served_run, service):
+    """diagnose(n_samples=K) extends each report with the uncertainty
+    block in ONE dispatch; deterministic per seed, invariant to bucket
+    padding, and the point label agrees with the plain diagnosis."""
+    raw = served_run["raw"]
+    k = 8
+    reports = service.diagnose(raw[:3], n_samples=k, seed=1)
+    plain = service.diagnose(raw[:3])
+    assert len(reports) == 3
+    for rep, ref in zip(reports, plain):
+        assert rep["label"] == ref["label"]
+        np.testing.assert_allclose(
+            sorted(rep["posteriors"].values()),
+            sorted(ref["posteriors"].values()), rtol=1e-5)
+        unc = rep["uncertainty"]
+        assert unc["label"] == rep["label"]  # qda head both ways
+        assert 0.0 <= unc["label_agreement"] <= 1.0
+        assert sum(unc["sample_votes"].values()) == k
+        assert unc["n_samples"] == k
+        assert sum(unc["posterior_mean"].values()) == pytest.approx(1.0)
+        assert unc["predictive_entropy_nats"] >= -1e-9
+    # same seed → identical; padding to the same rows inside a bigger
+    # request → identical (row-indexed eps fold)
+    again = service.diagnose(raw[:3], n_samples=k, seed=1)
+    assert [r["uncertainty"] for r in again] == \
+        [r["uncertainty"] for r in reports]
+    wider = service.diagnose(raw[:4], n_samples=k, seed=1)
+    assert [r["uncertainty"] for r in wider[:3]] == \
+        [r["uncertainty"] for r in reports]
+    # a different seed draws different samples
+    other = service.diagnose(raw[:3], n_samples=k, seed=2)
+    assert any(o["uncertainty"]["posterior_mean"] !=
+               r["uncertainty"]["posterior_mean"]
+               for o, r in zip(other, reports))
+    # single-mesh convenience shape
+    one = service.diagnose(raw[0], n_samples=k, seed=1)
+    assert isinstance(one, dict)
+    assert one["uncertainty"] == reports[0]["uncertainty"]
+
+
 def test_reconstruct_errors_in_mm(served_run, service):
     raw = served_run["raw"]
     out = service.reconstruct(raw[:2])
@@ -701,6 +847,19 @@ class TestHTTP:
         assert "label" in rep and "posteriors" in rep
         dec = self._post(server + "/decode", {"latent": [rep["latent"]]})
         assert np.asarray(dec["vertices"]).shape == raw.shape
+
+    def test_diagnose_uncertainty_endpoint(self, served_run, service,
+                                           server):
+        raw = served_run["raw"][:2]
+        out = self._post(server + "/diagnose",
+                         {"vertices": raw.tolist(), "n_samples": 4,
+                          "seed": 3})
+        reps = out["reports"]
+        assert len(reps) == 2
+        direct = service.diagnose(raw, n_samples=4, seed=3)
+        for rep, ref in zip(reps, direct):
+            assert rep["label"] == ref["label"]
+            assert rep["uncertainty"] == ref["uncertainty"]
 
     def test_saliency_endpoint(self, served_run, service, server):
         raw = served_run["raw"][:2]

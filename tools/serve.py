@@ -9,8 +9,13 @@ with Content-Type: application/octet-stream):
     GET  /healthz       → {"ok": true, ...service stats}
     POST /encode        {"vertices": [[x,y,z]...] | [[[x,y,z]...]...]}
                         → {"latent": [[...]...]}
-    POST /diagnose      same body (+ optional "model": qda|lda|svm|mlp)
-                        → per-mesh {label, posteriors, mahalanobis, latent}
+    POST /diagnose      same body (+ optional "model": qda|lda|svm|mlp,
+                        "n_samples": K, "seed") → per-mesh {label,
+                        posteriors, mahalanobis, latent}; n_samples > 0
+                        (VAE runs) adds an "uncertainty" block — the
+                        encoder posterior sampled K times, every sample
+                        classified: label agreement, vote counts,
+                        posterior mean/std, predictive entropy
     POST /saliency      same body (+ optional "model",
                         "include_vertex_saliency": false) → per-mesh
                         diagnosis + gradient attribution: saliency_label
@@ -98,10 +103,12 @@ def make_handler(service):
                                                    np.float32))
                     self._reply(200, {"latent": mu})
                 elif self.path == "/diagnose":
+                    opts = body if isinstance(body, dict) else {}
                     reports = service.diagnose(
                         np.asarray(body["vertices"], np.float32),
-                        model=body.get("model", "qda")
-                        if isinstance(body, dict) else "qda")
+                        model=opts.get("model", "qda"),
+                        n_samples=int(opts.get("n_samples", 0)),
+                        seed=int(opts.get("seed", 0)))
                     self._reply(200, {"reports": reports})
                 elif self.path == "/saliency":
                     reports = service.saliency(
