@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_uncertainty_fn", "summarize_uncertainty"]
+__all__ = ["make_uncertainty_fn", "summarize_uncertainty",
+           "summarize_ensemble"]
 
 
 def make_uncertainty_fn(manager, normalization: dict, qda,
@@ -111,6 +112,10 @@ def summarize_uncertainty(lp_mu, sample_lp, sample_pred, qda_classes,
     """
     lp_mu = np.asarray(lp_mu, np.float64)
     sample_lp = np.asarray(sample_lp, np.float64)
+    if sample_lp.ndim != 3 or sample_lp.shape[0] != lp_mu.shape[0]:
+        raise ValueError(
+            f"sample_lp must be [B, K, C] matching lp_mu [B, C]; got "
+            f"{sample_lp.shape} vs {lp_mu.shape}")
     sample_pred = np.asarray(sample_pred)
     labels = [idx2class[int(c)] for c in np.asarray(qda_classes)]
     n_classes = len(labels)
@@ -139,5 +144,61 @@ def summarize_uncertainty(lp_mu, sample_lp, sample_pred, qda_classes,
                               for c in range(n_classes)},
             "predictive_entropy_nats": float(entropy[i]),
             "n_samples": int(k),
+        })
+    return out
+
+
+def summarize_ensemble(member_reports) -> list:
+    """Cross-member (deep-ensemble) consensus over per-member diagnosis
+    reports.
+
+    ``member_reports`` is [K][B]: for each of K independently-trained
+    members (training/ensemble.py), the report list that member's
+    ``DiagnosisService.diagnose`` returned for the SAME B scans (each
+    report carries ``label`` and the QDA ``posteriors`` dict). Returns
+    one consensus dict per scan:
+
+    - ``label``: the majority vote (ties broken to the alphabetically
+      first label, deterministically)
+    - ``member_agreement``: the majority's fraction of the K votes —
+      cross-member disagreement is the epistemic-uncertainty signal
+      (what the training data never pinned down), complementary to the
+      within-member posterior sampling of :func:`make_uncertainty_fn`
+    - ``member_votes``: per-class vote counts
+    - ``posterior_mean`` / ``posterior_std``: per-class statistics of
+      the member posteriors
+    - ``predictive_entropy_nats``: entropy of the member-averaged
+      posterior
+    - ``n_members``
+    """
+    k = len(member_reports)
+    if k == 0:
+        raise ValueError("need at least one member's reports")
+    b = len(member_reports[0])
+    if any(len(r) != b for r in member_reports):
+        raise ValueError("members reported different scan counts: "
+                         f"{[len(r) for r in member_reports]}")
+    classes = list(member_reports[0][0]["posteriors"])
+    out = []
+    for i in range(b):
+        labels = [member_reports[m][i]["label"] for m in range(k)]
+        post = np.array([[member_reports[m][i]["posteriors"][c]
+                          for c in classes] for m in range(k)], np.float64)
+        votes = {c: labels.count(c) for c in sorted(set(labels))}
+        # deterministic tie-break: highest count, then alphabetical
+        top = max(votes.values())
+        majority = sorted(c for c, n in votes.items() if n == top)[0]
+        mean_post = post.mean(axis=0)
+        out.append({
+            "label": majority,
+            "member_agreement": votes[majority] / k,
+            "member_votes": {c: votes.get(c, 0) for c in classes},
+            "posterior_mean": {c: float(mean_post[j])
+                               for j, c in enumerate(classes)},
+            "posterior_std": {c: float(post[:, j].std())
+                              for j, c in enumerate(classes)},
+            "predictive_entropy_nats": float(max(-np.sum(
+                mean_post * np.log(np.clip(mean_post, 1e-12, None))), 0.0)),
+            "n_members": k,
         })
     return out
