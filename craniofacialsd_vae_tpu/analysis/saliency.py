@@ -100,12 +100,16 @@ def make_margin_fn(manager, normalization: dict, qda,
     runner-up when the prediction IS healthy (see module note).
 
     ``healthy_class_idx`` is the run's class LABEL index (e.g.
-    ``manager.class2idx('n')``); loud when the QDA never saw it."""
+    ``manager.class2idx('n')``); loud when the QDA never saw it.
+    ``normalization`` may be None for runs trained with
+    ``normalize_data: False`` — the scan is already in model space."""
     import jax.numpy as jnp
 
     from ..models import encode
 
     geom, config = manager.geometry, manager.net_config
+    if normalization is None:
+        normalization = {"mean": 0.0, "std": 1.0}
     mean = jnp.asarray(normalization["mean"], jnp.float32)
     std = jnp.asarray(normalization["std"], jnp.float32)
     healthy_pos = qda._class_index(healthy_class_idx)

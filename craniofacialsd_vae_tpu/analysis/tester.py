@@ -1167,11 +1167,16 @@ class Tester:
         if mgr.classifiers is None or mgr.classifiers.qda is None:
             raise RuntimeError("saliency_maps needs the fitted QDA head")
         qda = mgr.classifiers.qda
-        batch = next(iter(self._test_iter))
-        raw = self._unnormalize(np.asarray(batch["x"],
-                                           np.float32))[:n_meshes]
+        raws = []
+        for batch in self._test_iter:
+            raws.append(self._unnormalize(np.asarray(batch["x"],
+                                                     np.float32)))
+            if sum(len(r) for r in raws) >= n_meshes:
+                break
+        raw = np.concatenate(raws, axis=0)[:n_meshes]
         fn = jax.jit(make_saliency_fn(
-            mgr, self._norm, qda, mgr.class2idx(healthy_class)))
+            mgr, self._norm if self._normalized else None, qda,
+            mgr.class2idx(healthy_class)))
         sal, margin, pred, ref, _, _ = [
             np.asarray(r) for r in fn(mgr.state.params, raw)]
         qda_classes = np.asarray(qda.classes)
@@ -1232,13 +1237,13 @@ class Tester:
             if sum(len(r) for r in raws) >= n_meshes:
                 break
         raw = np.concatenate(raws, axis=0)[:n_meshes]
-        fn = jax.jit(make_uncertainty_fn(mgr, self._norm, qda,
-                                         int(n_samples)))
+        fn = jax.jit(make_uncertainty_fn(
+            mgr, self._norm if self._normalized else None, qda,
+            int(n_samples)))
         mu, lp_mu, sample_lp, sample_pred, _ = fn(
             mgr.state.params, raw, jax.random.PRNGKey(int(seed)))
-        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
         reports = summarize_uncertainty(lp_mu, sample_lp, sample_pred,
-                                        qda.classes, idx2class)
+                                        qda.classes, mgr._idx2class_dict)
         for i, rep in enumerate(reports):
             rep["mesh"] = i
             rep["flagged"] = rep["label_agreement"] < agreement_threshold

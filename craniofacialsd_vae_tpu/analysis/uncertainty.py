@@ -60,6 +60,9 @@ def make_uncertainty_fn(manager, normalization: dict, qda,
     if int(n_samples) < 1:
         raise ValueError(f"n_samples must be >= 1; got {n_samples}")
     geom, config = manager.geometry, manager.net_config
+    # None for runs trained with normalize_data: False (model-space scans)
+    if normalization is None:
+        normalization = {"mean": 0.0, "std": 1.0}
     mean = jnp.asarray(normalization["mean"], jnp.float32)
     std = jnp.asarray(normalization["std"], jnp.float32)
     log_post = make_qda_log_posterior(qda)

@@ -379,13 +379,22 @@ class DiagnosisService:
         Per-scan noise is folded by row index, so results don't depend
         on bucket padding; across `max_batch` chunks the fold restarts
         (chunk-local row ids), which only correlates eps draws BETWEEN
-        scans — each scan's own summary is unaffected."""
+        scans — each scan's own summary is unaffected. ``n_samples`` is
+        capped at MAX_UNCERTAINTY_SAMPLES; the compiled program draws
+        the next power of two and the summary uses the first
+        ``n_samples`` (bounds both the device working set and the
+        per-K program cache against client-chosen sample counts)."""
         x, single = self._as_batch(vertices)
         if not n_samples:
             mu = self.encode(x)
             reports = self._diagnosis_reports(mu, model,
                                               include_latent=True)
             return reports[0] if single else reports
+        n_samples = int(n_samples)
+        if not 1 <= n_samples <= self.MAX_UNCERTAINTY_SAMPLES:
+            raise ValueError(
+                f"n_samples must be in [1, {self.MAX_UNCERTAINTY_SAMPLES}]"
+                f"; got {n_samples}")
 
         import jax
 
@@ -394,24 +403,32 @@ class DiagnosisService:
         t0 = time.perf_counter()
         mgr = self.manager
         with self._lock:
-            fn = self._uncertainty_jit(int(n_samples))
+            fn = self._uncertainty_jit(
+                1 << (n_samples - 1).bit_length())
             key = jax.random.PRNGKey(int(seed))
             mu, lp_mu, sample_lp, sample_pred, _ = self._run_bucketed(
                 lambda p, c: fn(p, c, key), x)
             self._observe(x.shape[0], t0)
         reports = self._diagnosis_reports(np.asarray(mu), model,
                                           include_latent=True)
-        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
-        unc = summarize_uncertainty(lp_mu, sample_lp, sample_pred,
+        unc = summarize_uncertainty(lp_mu, sample_lp[:, :n_samples],
+                                    sample_pred[:, :n_samples],
                                     mgr.classifiers.qda.classes,
-                                    idx2class)
+                                    mgr._idx2class_dict)
         for rep, u in zip(reports, unc):
             rep["uncertainty"] = u
         return reports[0] if single else reports
 
+    #: upper bound on diagnose(n_samples=...) — a request-controlled
+    #: static shape must not be able to OOM the device or grow the
+    #: program cache unboundedly (programs exist only at powers of two)
+    MAX_UNCERTAINTY_SAMPLES = 256
+
     def _uncertainty_jit(self, n_samples: int):
         """Cached jitted posterior-sampling program per sample count
-        (each K is a different static shape). Caller holds the lock."""
+        (each K is a different static shape; callers quantize K to
+        powers of two so at most 9 programs ever exist). Caller holds
+        the lock."""
         fn = self._jit_uncertainty.get(n_samples)
         if fn is None:
             import jax
@@ -442,7 +459,7 @@ class DiagnosisService:
             log_post = mgr.classifiers.qda.log_posteriors(mu)
         post = np.exp(log_post - log_post.max(axis=1, keepdims=True))
         post = post / post.sum(axis=1, keepdims=True)
-        idx2class = {v: k for k, v in mgr._class2idx_dict.items()}
+        idx2class = mgr._idx2class_dict
         # QDA only fits classes that actually occur in the training
         # labels (e.g. 'b' merges into 'n' upstream), so posterior column
         # j belongs to qda.classes[j], NOT to class index j

@@ -327,6 +327,51 @@ def test_tester_diagnosis_uncertainty(saliency_ws, tmp_path):
         assert a["posterior_mean"] == b["posterior_mean"]
 
 
+def test_tester_unnormalized_run_and_multibatch(saliency_ws, tmp_path):
+    """normalize_data: False runs must NOT re-normalize before encode
+    (the scan is already model-space — tester passes None, the programs
+    skip the (x-mean)/std), and saliency_maps must accumulate batches
+    past the first when n_meshes exceeds the iterator batch size."""
+    import jax
+
+    from craniofacialsd_vae_tpu.analysis.saliency import make_margin_fn
+    from craniofacialsd_vae_tpu.analysis.tester import Tester
+    from craniofacialsd_vae_tpu.data.dataset import BatchIterator
+
+    mgr = saliency_ws["manager"]
+    test_set = saliency_ws["test"]
+    tester = Tester(mgr, saliency_ws["norm"],
+                    BatchIterator(saliency_ws["train"], 2, shuffle=False),
+                    BatchIterator(test_set, 2, shuffle=False,
+                                  drop_last=False),
+                    str(tmp_path / "out"), saliency_ws["config"],
+                    lazy_stats=True)
+    # multi-batch accumulation: ask for every test mesh at batch size 2
+    n = len(test_set.x)
+    reports = tester.saliency_maps(n_meshes=n, save_artifacts=False)
+    assert len(reports) == n, \
+        f"saliency_maps returned {len(reports)} of {n} requested meshes"
+
+    # unnormalized run: simulate normalize_data False — the test arrays
+    # ARE the model-space inputs; the margin program with normalization
+    # None must reproduce the tester's labels/margins
+    tester._normalized = False
+    try:
+        rep_un = tester.saliency_maps(n_meshes=2, save_artifacts=False)
+    finally:
+        tester._normalized = True
+    x = np.asarray(test_set.x[:2], np.float32)
+    fn = jax.jit(make_margin_fn(mgr, None, mgr.classifiers.qda,
+                                mgr.class2idx("n")))
+    margin, pred, _, _, _ = [np.asarray(r)
+                             for r in fn(mgr.state.params, x)]
+    qda_classes = np.asarray(mgr.classifiers.qda.classes)
+    for i, rep in enumerate(rep_un):
+        assert rep["label"] == mgr.idx2class(int(qda_classes[pred[i]]))
+        assert rep["margin_nats"] == pytest.approx(float(margin[i]),
+                                                   rel=1e-4, abs=1e-5)
+
+
 def test_tester_saliency_maps_artifacts(saliency_ws, tmp_path):
     from craniofacialsd_vae_tpu.analysis.tester import Tester
     from craniofacialsd_vae_tpu.data.dataset import BatchIterator

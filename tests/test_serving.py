@@ -364,6 +364,23 @@ def test_diagnose_with_uncertainty(served_run, service):
     one = service.diagnose(raw[0], n_samples=k, seed=1)
     assert isinstance(one, dict)
     assert one["uncertainty"] == reports[0]["uncertainty"]
+    # a non-power-of-two K runs the next-pow2 program and summarizes the
+    # first K samples — votes still sum to the REQUESTED count
+    odd = service.diagnose(raw[:1], n_samples=5, seed=1)[0]
+    assert sum(odd["uncertainty"]["sample_votes"].values()) == 5
+    assert odd["uncertainty"]["n_samples"] == 5
+    # request-controlled static shapes are bounded: a huge K must be a
+    # clear client error, not a device OOM / unbounded program cache
+    from craniofacialsd_vae_tpu.serving import DiagnosisService
+    with pytest.raises(ValueError, match="n_samples"):
+        service.diagnose(raw[:1],
+                         n_samples=DiagnosisService
+                         .MAX_UNCERTAINTY_SAMPLES + 1)
+    with pytest.raises(ValueError, match="n_samples"):
+        service.diagnose(raw[:1], n_samples=-4)
+    assert all((key & (key - 1)) == 0
+               for key in service._jit_uncertainty), \
+        "uncertainty programs must exist only at power-of-two K"
 
 
 def test_reconstruct_errors_in_mm(served_run, service):

@@ -175,11 +175,13 @@ def main():
               f"({time.time() - t0:.1f}s)")
 
     # ---- per-member run dirs: checkpoints + classifier zoo + stats ----
+    # same iterator construction as train.py's classifier fit (incl. the
+    # drop_last default) so a member's reported val accuracy matches what
+    # the same seed through train.py would report
     clf_train = BatchIterator(train_set, batch_size, shuffle=False,
                               class2idx=manager._class2idx_dict)
     clf_val = BatchIterator(val_set, batch_size, shuffle=False,
-                            class2idx=manager._class2idx_dict,
-                            drop_last=False)
+                            class2idx=manager._class2idx_dict)
     manifest = {"members": [], "seeds": list(range(
         args.seed, args.seed + members)), "epochs": epochs,
         "config": os.path.abspath(args.config)}
