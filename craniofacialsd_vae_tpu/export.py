@@ -49,7 +49,7 @@ def export_run_dir(run_dir: str, out_dir: str,
     classifier zoo are NOT needed) and writes the artifact directory.
     Returns the manifest dict."""
     from .manager import ModelManager
-    from .serving import load_normalization
+    from .serving import run_normalization
     from .utils import get_config
 
     config_path = os.path.join(run_dir, "config.yaml")
@@ -63,7 +63,7 @@ def export_run_dir(run_dir: str, out_dir: str,
     precomp = config["data"]["precomputed_path"]
     manager = ModelManager(config, precomputed_storage_path=precomp)
     manager.resume(os.path.join(run_dir, "checkpoints"))
-    norm = load_normalization(precomp)
+    norm = run_normalization(config)
     return export_manager(manager, norm, out_dir, buckets=buckets,
                           platforms=platforms, source=str(run_dir))
 

@@ -64,6 +64,18 @@ def load_normalization(precomputed_path: str) -> dict:
         "precomputed dir is required for serving")
 
 
+def run_normalization(config: dict) -> dict | None:
+    """The normalization the RUN's model expects at its input boundary:
+    the precomputed stats when it trained with ``normalize_data`` (the
+    default), or None when ``normalize_data: False`` — the net consumed
+    raw coordinates, and applying the (still-cached) stats would feed it
+    data scaled unlike anything it saw. Every inference-program builder
+    treats None as identity."""
+    if not config["data"].get("normalize_data", True):
+        return None
+    return load_normalization(config["data"]["precomputed_path"])
+
+
 def classes_from_split(precomputed_path: str) -> dict:
     """class2idx map re-derived from the run's cached ``data_split.json``
     — the same first-letter labels (with 'b' ordered last) the training
@@ -99,6 +111,8 @@ def build_raw_programs(manager, normalization: dict) -> dict:
     from .models import decode, encode
 
     geom, config = manager.geometry, manager.net_config
+    if normalization is None:   # normalize_data: False → identity
+        normalization = {"mean": 0.0, "std": 1.0}
     mean = jnp.asarray(normalization["mean"], jnp.float32)
     std = jnp.asarray(normalization["std"], jnp.float32)
     to_mm = float(manager.to_mm_const)
@@ -232,7 +246,7 @@ class DiagnosisService:
                 "diagnosis serving needs the trained heads")
         manager.set_class_conversions(classes)
 
-        svc = cls(manager, load_normalization(precomp),
+        svc = cls(manager, run_normalization(config),
                   healthy_class=healthy_class, max_batch=max_batch,
                   data_parallel=data_parallel)
         if warm:

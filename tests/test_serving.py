@@ -383,6 +383,33 @@ def test_diagnose_with_uncertainty(served_run, service):
         "uncertainty programs must exist only at power-of-two K"
 
 
+def test_unnormalized_run_normalization_contract(served_run):
+    """Runs trained with normalize_data: False must serve IDENTITY
+    normalization (the net consumed raw coordinates; the precomputed dir
+    still caches real stats that must NOT be applied), and every
+    program builder must accept None as identity."""
+    import copy
+
+    import jax
+
+    from craniofacialsd_vae_tpu.serving import (build_raw_programs,
+                                                run_normalization)
+
+    mgr, norm = served_run["manager"], served_run["norm"]
+    cfg = copy.deepcopy(served_run["config"])
+    assert run_normalization(cfg) is not None        # default: real stats
+    np.testing.assert_allclose(run_normalization(cfg)["mean"],
+                               norm["mean"])
+    cfg["data"]["normalize_data"] = False
+    assert run_normalization(cfg) is None
+    # None → identity: encode must see the input untouched
+    programs = build_raw_programs(mgr, None)
+    x = served_run["raw"][:2]                        # any model-space array
+    mu = np.asarray(jax.jit(programs["encode"])(mgr.state.params, x))
+    np.testing.assert_allclose(mu, np.asarray(mgr.encode(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_reconstruct_errors_in_mm(served_run, service):
     raw = served_run["raw"]
     out = service.reconstruct(raw[:2])
