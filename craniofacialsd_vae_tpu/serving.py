@@ -693,3 +693,114 @@ class DiagnosisService:
             "platform": jax.devices()[0].platform,
             "classes": dict(self.manager._class2idx_dict),
         }
+
+
+class EnsembleService:
+    """Consensus diagnosis over a trained deep ensemble.
+
+    Wraps one :class:`DiagnosisService` per member run dir (the K
+    standard run dirs tools/train_ensemble.py writes) and answers
+    ``diagnose`` with the cross-member consensus
+    (analysis.uncertainty.summarize_ensemble): majority label, member
+    agreement, per-class posterior mean/std over members, predictive
+    entropy — the epistemic-uncertainty view a single model cannot give.
+    With ``n_samples > 0`` each member additionally samples its own
+    encoder posterior, so the per-member blocks carry within-model
+    uncertainty alongside the cross-member consensus.
+
+    Only the consensus surface exists here; every single-model request
+    (encode / decode / reconstruct / saliency / fit / plan) raises with
+    a pointer to the member dirs, so the stock HTTP handler
+    (tools/serve.py) serves an ensemble dir unchanged — unsupported
+    endpoints surface as clear 400s.
+    """
+
+    #: single-model endpoints this service deliberately refuses
+    _MEMBER_ONLY = ("encode", "decode", "reconstruct", "saliency", "fit",
+                    "plan", "diagnose_latent", "diagnose_latents")
+
+    def __init__(self, services: list):
+        if not services:
+            raise ValueError("EnsembleService needs at least one member")
+        n = {s.manager.geometry.spirals[0].num_vertices for s in services}
+        cls_maps = [dict(s.manager._class2idx_dict) for s in services]
+        if len(n) != 1 or any(c != cls_maps[0] for c in cls_maps):
+            raise ValueError(
+                "ensemble members disagree on template vertex count or "
+                f"class map (vertex counts {sorted(n)})")
+        self.services = list(services)
+
+    @classmethod
+    def from_ensemble_dir(cls, run_dir: str, **from_run_dir_kwargs
+                          ) -> "EnsembleService":
+        """Build from a tools/train_ensemble.py output dir (reads
+        ensemble.json; kwargs forward to DiagnosisService.from_run_dir
+        for every member)."""
+        manifest_path = os.path.join(run_dir, "ensemble.json")
+        if not os.path.exists(manifest_path):
+            raise FileNotFoundError(
+                f"no {manifest_path} — not an ensemble run dir "
+                "(train one with tools/train_ensemble.py)")
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        warm = from_run_dir_kwargs.pop("warm", False)
+        services = [DiagnosisService.from_run_dir(
+            os.path.join(run_dir, m["dir"]), **from_run_dir_kwargs)
+            for m in manifest["members"]]
+        svc = cls(services)
+        if warm:
+            svc.warmup()
+        return svc
+
+    @property
+    def n_members(self) -> int:
+        return len(self.services)
+
+    @property
+    def buckets(self):
+        return self.services[0].buckets
+
+    def warmup(self):
+        for s in self.services:
+            s.warmup()
+
+    def diagnose(self, vertices, model: str = "qda", n_samples: int = 0,
+                 seed: int = 0, include_members: bool = True):
+        """Raw scans → per-scan consensus reports (summarize_ensemble
+        fields) + per-member diagnosis blocks (latents dropped; with
+        ``n_samples > 0`` each block carries that member's
+        posterior-sampling ``uncertainty``). Single [N, 3] input →
+        single dict, like DiagnosisService.diagnose."""
+        from .analysis.uncertainty import summarize_ensemble
+
+        x, single = self.services[0]._as_batch(vertices)
+        member_reports = [svc.diagnose(x, model=model,
+                                       n_samples=n_samples, seed=seed)
+                          for svc in self.services]
+        consensus = summarize_ensemble(member_reports)
+        if include_members:
+            for i, row in enumerate(consensus):
+                row["members"] = [
+                    {k: v for k, v in member_reports[m][i].items()
+                     if k != "latent"}
+                    for m in range(self.n_members)]
+        return consensus[0] if single else consensus
+
+    def stats(self) -> dict:
+        per = [s.stats() for s in self.services]
+        out = dict(per[0])
+        out["requests"] = sum(p["requests"] for p in per)
+        out["meshes"] = sum(p["meshes"] for p in per)
+        out["n_members"] = self.n_members
+        return out
+
+    def __getattr__(self, name):
+        if name in type(self)._MEMBER_ONLY:
+            def refuse(*a, **kw):
+                raise ValueError(
+                    f"{name} is a single-model request — serve a member "
+                    "run dir (outputs/<id>/member_XX) for it; the "
+                    "ensemble endpoint answers /diagnose (consensus) "
+                    "and /healthz only")
+            return refuse
+        raise AttributeError(name)

@@ -167,10 +167,10 @@ def test_summarize_ensemble_math():
         summarize_ensemble([members[0], members[1][:1]])
 
 
-def test_train_ensemble_cli(cli_workspace):
-    """tools/train_ensemble.py end-to-end: K standard run dirs, each
-    servable (DiagnosisService.from_run_dir + diagnose), plus the
-    manifest; cross-member consensus via summarize_ensemble."""
+@pytest.fixture(scope="module")
+def ensemble_run(cli_workspace):
+    """tools/train_ensemble.py driven once as a real subprocess; shared
+    by the artifact assertions and the EnsembleService tests."""
     root, cfg_path = cli_workspace
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -182,7 +182,15 @@ def test_train_ensemble_cli(cli_workspace):
     assert proc.returncode == 0, \
         f"train_ensemble.py failed:\n{proc.stdout[-3000:]}" \
         f"\n{proc.stderr[-3000:]}"
-    out_dir = os.path.join(str(root), "outputs", "cli_ens")
+    return os.path.join(str(root), "outputs", "cli_ens")
+
+
+def test_train_ensemble_cli(cli_workspace, ensemble_run):
+    """tools/train_ensemble.py artifacts: K standard run dirs, each
+    servable (DiagnosisService.from_run_dir + diagnose), plus the
+    manifest; cross-member consensus via summarize_ensemble."""
+    root, cfg_path = cli_workspace
+    out_dir = ensemble_run
     with open(os.path.join(out_dir, "ensemble.json")) as f:
         manifest = json.load(f)
     assert [m["dir"] for m in manifest["members"]] == \
@@ -226,3 +234,116 @@ def test_train_ensemble_cli(cli_workspace):
     p1 = np.concatenate([np.ravel(v) for v in np.load(
         os.path.join(out_dir, "member_01", "z_stats.npz")).values()])
     assert not np.allclose(p0, p1)
+
+
+def _ensemble_probe_batch(svc, n=3):
+    tpl = svc.services[0].manager.template.pos
+    rng = np.random.default_rng(0)
+    return np.stack([tpl + rng.normal(scale=0.02, size=tpl.shape)
+                     for _ in range(n)]).astype(np.float32)
+
+
+def test_ensemble_service(ensemble_run):
+    """EnsembleService: consensus == summarize_ensemble over the members'
+    own diagnose reports, member blocks attached (latents dropped),
+    single-model endpoints refused, per-member posterior sampling rides
+    through n_samples."""
+    from craniofacialsd_vae_tpu.analysis.uncertainty import \
+        summarize_ensemble
+    from craniofacialsd_vae_tpu.serving import EnsembleService
+
+    svc = EnsembleService.from_ensemble_dir(ensemble_run, max_batch=4)
+    assert svc.n_members == 2
+    raw = _ensemble_probe_batch(svc)
+    consensus = svc.diagnose(raw)
+    member_reports = [s.diagnose(raw) for s in svc.services]
+    expected = summarize_ensemble(member_reports)
+    assert len(consensus) == 3
+    for row, exp in zip(consensus, expected):
+        for key in ("label", "member_agreement", "member_votes",
+                    "posterior_mean", "posterior_std",
+                    "predictive_entropy_nats", "n_members"):
+            assert row[key] == exp[key], key
+        assert len(row["members"]) == 2
+        for block in row["members"]:
+            assert "label" in block and "posteriors" in block
+            assert "latent" not in block
+    # single-mesh convenience shape
+    one = svc.diagnose(raw[0])
+    assert isinstance(one, dict) and one["label"] == consensus[0]["label"]
+    # member-only endpoints refuse with a pointer, never compute
+    for name in ("encode", "reconstruct", "saliency", "plan", "fit"):
+        with pytest.raises(ValueError, match="single-model"):
+            getattr(svc, name)(raw)
+    stats = svc.stats()
+    assert stats["n_members"] == 2 and stats["requests"] >= 2
+    # per-member posterior sampling composes with the consensus
+    unc = svc.diagnose(raw[:1], n_samples=4, seed=1)
+    assert "uncertainty" in unc[0]["members"][0]
+    assert sum(unc[0]["members"][0]["uncertainty"]
+               ["sample_votes"].values()) == 4
+
+
+def test_ensemble_service_rejects_non_ensemble_and_mismatch(ensemble_run):
+    from craniofacialsd_vae_tpu.serving import (DiagnosisService,
+                                                EnsembleService)
+
+    with pytest.raises(FileNotFoundError, match="ensemble.json"):
+        EnsembleService.from_ensemble_dir(
+            os.path.join(ensemble_run, "member_00"))
+    with pytest.raises(ValueError, match="at least one"):
+        EnsembleService([])
+    svc = DiagnosisService.from_run_dir(
+        os.path.join(ensemble_run, "member_00"), max_batch=4)
+    same = EnsembleService([svc, svc])          # consistent → accepted
+    assert same.n_members == 2
+
+
+def test_serve_cli_ensemble_subprocess(ensemble_run):
+    """tools/serve.py on an ensemble dir: auto-detects ensemble.json,
+    answers /healthz (n_members) and consensus /diagnose, and 400s a
+    single-model endpoint with the member-dir pointer."""
+    import urllib.error
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--run_dir", ensemble_run,
+         "--platform", "cpu", "--port", "0", "--max_batch", "4"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        url = None
+        for _ in range(600):
+            line = proc.stdout.readline()
+            if "serving" in line and "http://" in line:
+                url = line.split()[3]
+                break
+            assert proc.poll() is None, "server exited during startup"
+        assert url, "startup banner never appeared"
+
+        h = json.loads(urllib.request.urlopen(url + "/healthz",
+                                              timeout=60).read())
+        assert h["ok"] and h["n_members"] == 2
+
+        from craniofacialsd_vae_tpu.serving import EnsembleService
+        svc = EnsembleService.from_ensemble_dir(ensemble_run, max_batch=4)
+        raw = _ensemble_probe_batch(svc, n=1)
+        body = json.dumps({"vertices": raw[0].tolist()}).encode()
+        req = urllib.request.Request(
+            url + "/diagnose", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        rep = out["reports"]
+        assert rep["n_members"] == 2 and len(rep["members"]) == 2
+        assert rep["label"] == svc.diagnose(raw[0])["label"]
+
+        req = urllib.request.Request(
+            url + "/encode", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 400
+        assert "single-model" in err.value.read().decode()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

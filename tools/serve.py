@@ -1,6 +1,11 @@
 """HTTP serving for a trained run — the deployment entry point.
 
     python tools/serve.py --id=run1 [--output_path=.] [--port 8008]
+    python tools/serve.py --id=ens1          # ensemble dir (ensemble.json
+                                             # present): /diagnose returns the
+                                             # cross-member consensus; single-
+                                             # model endpoints 400 toward the
+                                             # member run dirs
                           [--max_batch 16] [--platform cpu] [--no_warmup]
 
 Endpoints (JSON in/out; vertices may also be posted as a raw .npy body
@@ -193,17 +198,33 @@ def main(argv=None):
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
     setup_jax(platform=args.platform)
-    from craniofacialsd_vae_tpu.serving import DiagnosisService
+    from craniofacialsd_vae_tpu.serving import (DiagnosisService,
+                                                EnsembleService)
 
-    service = DiagnosisService.from_run_dir(
-        run_dir, healthy_class=args.healthy_class,
-        max_batch=args.max_batch, warm=not args.no_warmup,
-        data_parallel=args.data_parallel)
+    if os.path.exists(os.path.join(run_dir, "ensemble.json")):
+        # a tools/train_ensemble.py output dir: consensus /diagnose over
+        # all members; single-model endpoints 400 with a pointer to the
+        # member run dirs
+        service = EnsembleService.from_ensemble_dir(
+            run_dir, healthy_class=args.healthy_class,
+            max_batch=args.max_batch, warm=not args.no_warmup,
+            data_parallel=args.data_parallel)
+        print(f"ensemble of {service.n_members} members", flush=True)
+    else:
+        service = DiagnosisService.from_run_dir(
+            run_dir, healthy_class=args.healthy_class,
+            max_batch=args.max_batch, warm=not args.no_warmup,
+            data_parallel=args.data_parallel)
     if args.warm_fit:
-        import time as _time
-        t0 = _time.time()
-        service.warmup_fit()
-        print(f"fit program warm ({_time.time() - t0:.0f}s)", flush=True)
+        if isinstance(service, EnsembleService):
+            print("--warm_fit skipped: fit is a single-model request — "
+                  "serve a member run dir for the fit intake", flush=True)
+        else:
+            import time as _time
+            t0 = _time.time()
+            service.warmup_fit()
+            print(f"fit program warm ({_time.time() - t0:.0f}s)",
+                  flush=True)
 
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
