@@ -48,6 +48,16 @@ LOSS_KEYS = ["reconstruction", "kl", "latent_consistency", "laplacian",
 
 @dataclass(frozen=True)
 class LossWeights:
+    """Loss weighting. Fields are python floats everywhere in the
+    standard paths (closed over by the step builders, so `w > 0`
+    decides the program STRUCTURE statically); the hyperparameter-sweep
+    path (training/sweep.py) instead passes fields as traced jnp
+    scalars vmapped over a variant axis — LossWeights is registered as
+    a pytree below for exactly that, and `_structurally_active` keeps
+    the structure decisions static (traced → compute the term
+    unconditionally; a 0.0 weight then contributes exactly-zero loss
+    and gradient, so variant updates stay bit-identical to a solo run
+    that skipped the term)."""
     kl: float = 1e-4
     laplacian: float = 0.1
     latent_consistency: float = 0.5
@@ -69,6 +79,28 @@ class LossWeights:
             eta2=float(opt_cfg.get("latent_consistency_eta2", 0.5)),
             classification=w_class,
         )
+
+
+jax.tree_util.register_pytree_node(
+    LossWeights,
+    lambda w: ((w.kl, w.laplacian, w.latent_consistency, w.eta1, w.eta2,
+                w.classification), None),
+    lambda _, c: LossWeights(*c))
+
+
+def _structurally_active(weight) -> bool:
+    """Static decision whether a weighted loss term is part of the
+    compiled program. Python/concrete weights keep the exact historical
+    behavior (term dropped at build time when == 0); traced weights (the
+    sweep path, where one program serves variants with different values)
+    always include the term — multiplying by a 0.0 weight adds
+    exactly-zero loss and gradient, so the parameter trajectory is
+    bit-identical either way (only the unweighted metric readout
+    differs: the skipped term reports 0.0, the computed one its value).
+    """
+    if isinstance(weight, jax.core.Tracer):
+        return True
+    return bool(weight > 0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -109,10 +141,10 @@ def _compute_losses(params, clf_params, geom: SpiralGeometry,
                                  training=training)
     loss_recon = mse_loss(out, x_grid)
     loss_lap = laplacian_loss(geom.laplacian, out) \
-        if weights.laplacian > 0 else 0.0
+        if _structurally_active(weights.laplacian) else 0.0
     loss_kl = kl_divergence_loss(mu, logvar) if config.is_vae else 0.0
 
-    if swap and weights.latent_consistency > 0:
+    if swap and _structurally_active(weights.latent_consistency):
         fmask = region_feature_mask(config.latent_size,
                                     geom.region_masks.shape[0], region_idx)
         loss_cons = latent_consistency_loss(z, fmask, batch_size,
@@ -121,7 +153,8 @@ def _compute_losses(params, clf_params, geom: SpiralGeometry,
         loss_cons = 0.0
 
     loss_class, acc_class = 0.0, 0.0
-    if clf_params is not None and weights.classification > 0 \
+    if clf_params is not None \
+            and _structurally_active(weights.classification) \
             and labels is not None:
         if swap:
             diag = (batch_size + 1) * jnp.arange(batch_size)
@@ -190,7 +223,7 @@ def _build_raw_step(config: SDVAEConfig, weights: LossWeights,
 
         clf_params, clf_opt_state = state.clf_params, state.clf_opt_state
         if clf_params is not None and clf_optimizer is not None \
-                and weights.classification > 0:
+                and _structurally_active(weights.classification):
             clf_updates, clf_opt_state = clf_optimizer.update(
                 clf_grads, state.clf_opt_state, clf_params)
             clf_params = optax.apply_updates(clf_params, clf_updates)
