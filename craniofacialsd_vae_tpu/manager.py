@@ -347,28 +347,11 @@ class ModelManager:
         compiled dispatch (training.make_scanned_train_epochs). Returns
         (per-epoch train losses, per-epoch val losses) as lists of dicts;
         key schedule identical to sequential run_epoch calls."""
-        from .training import make_scanned_train_epochs
+        from .training import assemble_epoch_plans, make_scanned_train_epochs
 
-        tr_plans = [train_iter.epoch_plan() for _ in range(n_epochs)]
-        va_plans = [val_iter.epoch_plan() for _ in range(n_epochs)]
-        tr_x, va_x = tr_plans[0][0], va_plans[0][0]
-        tr_idx = np.stack([p[1] for p in tr_plans])       # [E, St, B]
-        va_idx = np.stack([p[1] for p in va_plans])
-        with_labels = bool(self._mlp_end2end
-                           and tr_plans[0][2] is not None
-                           and va_plans[0][2] is not None)
-        tr_lab = jnp.asarray(np.stack([p[2] for p in tr_plans])) \
-            if with_labels else None
-        va_lab = jnp.asarray(np.stack([p[2] for p in va_plans])) \
-            if with_labels else None
-
-        st, sv = tr_idx.shape[1], va_idx.shape[1]
-        per = st + sv
-        base = self._step_counter
-        e_ar = np.arange(n_epochs)[:, None]
-        tr_sid = base + 1 + e_ar * per + np.arange(st)[None]
-        va_sid = base + 1 + e_ar * per + st + np.arange(sv)[None]
-        self._step_counter += n_epochs * per
+        plan_args, self._step_counter = assemble_epoch_plans(
+            train_iter, val_iter, n_epochs, self._step_counter,
+            with_labels=self._mlp_end2end)
 
         if self._scanned_epochs is None:
             # jit re-specializes on the labels pytree structure (None vs
@@ -386,10 +369,8 @@ class ModelManager:
                     self.batch_size, swap=self.swap_features,
                     clf_optimizer=self.clf_optimizer)
         self.state, tr_m, va_m = self._scanned_epochs(
-            self.state, self.geometry, tr_x, va_x,
-            jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
-            jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),
-            tr_lab, va_lab, self._class_weights, self._epoch_key)
+            self.state, self.geometry, *plan_args,
+            self._class_weights, self._epoch_key)
         tr_m = jax.device_get(tr_m)                       # one sync
         va_m = jax.device_get(va_m)
         tr_list = [{k: float(tr_m[k][e]) for k in LOSS_KEYS}

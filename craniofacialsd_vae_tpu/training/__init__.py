@@ -4,7 +4,7 @@ from .losses import (mse_loss, kl_divergence_loss, laplacian_loss,
 from .trainer import (LossWeights, TrainState, create_train_state,
                       make_train_step, make_scanned_train_step,
                       make_scanned_train_epochs, make_eval_step,
-                      LOSS_KEYS, coupled_adam)
+                      LOSS_KEYS, coupled_adam, assemble_epoch_plans)
 from .torch_import import (import_reference_checkpoint,
                            export_reference_checkpoint,
                            import_reference_mlp,

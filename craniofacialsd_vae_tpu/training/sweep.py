@@ -90,6 +90,14 @@ def build_variants(base_config: dict, overrides: list[dict]) -> list[dict]:
                 "is an AE (kl_weight 0): the VAE logvar head does not "
                 "exist in the shared program. Sweep kl_weight from a "
                 "VAE base config instead")
+        if base_kl > 0.0 and kl == 0.0:
+            raise ValueError(
+                f"variant {i} sets kl_weight 0 under a VAE base config: "
+                "the variant would train as a VAE (logvar head + "
+                "sampling) but its config snapshot would rebuild an AE, "
+                "breaking checkpoint resume — and no solo train.py "
+                "equivalent exists. Sweep kl_weight among values > 0, or "
+                "run the AE as its own train.py run")
         lc = float(cfg["optimization"].get("latent_consistency_weight", 0.0))
         if lc > 0 and not swap:
             raise ValueError(

@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data.swap import swap_features_dynamic
@@ -28,7 +29,46 @@ from .losses import (kl_divergence_loss, laplacian_loss,
 __all__ = ["LossWeights", "TrainState", "create_train_state",
            "make_train_step", "make_scanned_train_step",
            "make_scanned_train_epochs", "make_eval_step", "LOSS_KEYS",
-           "coupled_adam"]
+           "coupled_adam", "assemble_epoch_plans"]
+
+
+def assemble_epoch_plans(train_iter, val_iter, n_epochs: int,
+                         step_counter: int = 0, with_labels: bool = False):
+    """Host-side assembly of the multi-epoch scan arguments, shared by
+    ModelManager.run_epochs_scanned, tools/train_ensemble.py and
+    tools/sweep.py. The step-id schedule built here (validation ids
+    following each epoch's train ids, offset by the running counter) IS
+    the key-folding contract the per-step/scanned parity tests — and the
+    ensemble/sweep bit-comparability claims — depend on; one definition
+    so the callers cannot drift.
+
+    Returns ``(args, next_step_counter)`` where ``args`` is the tuple
+    (tr_x, va_x, tr_idx [E,St,B], tr_sid [E,St], va_idx [E,Sv,B],
+    va_sid [E,Sv], tr_labels | None, va_labels | None) ready to pass to
+    a make_scanned_train_epochs-shaped callable after the state/geometry
+    arguments. Labels are included only when ``with_labels`` AND every
+    plan carries them."""
+    tr_plans = [train_iter.epoch_plan() for _ in range(n_epochs)]
+    va_plans = [val_iter.epoch_plan() for _ in range(n_epochs)]
+    tr_x, va_x = tr_plans[0][0], va_plans[0][0]
+    tr_idx = np.stack([p[1] for p in tr_plans])           # [E, St, B]
+    va_idx = np.stack([p[1] for p in va_plans])
+    use_labels = bool(with_labels and tr_plans[0][2] is not None
+                      and va_plans[0][2] is not None)
+    tr_lab = jnp.asarray(np.stack([p[2] for p in tr_plans])) \
+        if use_labels else None
+    va_lab = jnp.asarray(np.stack([p[2] for p in va_plans])) \
+        if use_labels else None
+
+    st, sv = tr_idx.shape[1], va_idx.shape[1]
+    per = st + sv
+    e_ar = np.arange(n_epochs)[:, None]
+    tr_sid = step_counter + 1 + e_ar * per + np.arange(st)[None]
+    va_sid = step_counter + 1 + e_ar * per + st + np.arange(sv)[None]
+    args = (tr_x, va_x, jnp.asarray(tr_idx),
+            jnp.asarray(tr_sid.astype(np.int32)), jnp.asarray(va_idx),
+            jnp.asarray(va_sid.astype(np.int32)), tr_lab, va_lab)
+    return args, step_counter + n_epochs * per
 
 
 def coupled_adam(lr: float, weight_decay: float):

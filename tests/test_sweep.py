@@ -157,6 +157,10 @@ def test_build_variants_validation():
           "optimization": dict(BASE["optimization"], kl_weight=0.0)}
     with pytest.raises(ValueError, match="AE"):
         build_variants(ae, [{"kl_weight": 1e-4}])
+    # ... and a VAE base cannot sweep kl to 0: the variant would train
+    # with the logvar head but its config snapshot would rebuild an AE
+    with pytest.raises(ValueError, match="VAE base"):
+        build_variants(BASE, [{"kl_weight": 0.0}])
     # latent consistency needs the swap grid
     noswap = {"data": {"swap_features": False},
               "optimization": dict(BASE["optimization"],
@@ -170,6 +174,34 @@ def test_build_variants_validation():
                                [0.1, 0.1, 0.0])
     np.testing.assert_allclose(np.asarray(hp["weights"].eta1),
                                [0.5, 0.5, 0.2])
+
+
+def test_parse_vary():
+    """CLI grid parsing: product of axes, duplicate-key rejection (a
+    silently-collapsed duplicate would train the wrong grid), numeric
+    validation."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_cli", os.path.join(REPO, "tools", "sweep.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    grid = cli.parse_vary(["lr=1e-4,3e-4", "optimization.kl_weight=0,1"])
+    assert len(grid) == 4
+    assert {tuple(sorted(g.items())) for g in grid} == \
+        {(("kl_weight", 0.0), ("lr", 1e-4)),
+         (("kl_weight", 0.0), ("lr", 3e-4)),
+         (("kl_weight", 1.0), ("lr", 1e-4)),
+         (("kl_weight", 1.0), ("lr", 3e-4))}
+    with pytest.raises(SystemExit, match="given twice"):
+        cli.parse_vary(["lr=1e-4", "lr=3e-4"])
+    with pytest.raises(SystemExit, match="non-numeric"):
+        cli.parse_vary(["lr=fast"])
+    with pytest.raises(SystemExit, match="key=v1"):
+        cli.parse_vary(["lr"])
+    with pytest.raises(SystemExit, match="at least one"):
+        cli.parse_vary([])
 
 
 def test_state_bounds(sweep_setup):
@@ -206,6 +238,7 @@ def test_sweep_cli(cli_workspace):
     assert manifest["select"] == "reconstruction"
     best = manifest["best"]
     vals = [v["val"]["reconstruction"] for v in manifest["variants"]]
+    assert vals == sorted(vals), "manifest must list variants ranked"
     assert best["val"]["reconstruction"] == min(vals)
 
     from craniofacialsd_vae_tpu.serving import DiagnosisService

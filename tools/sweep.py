@@ -49,11 +49,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def parse_vary(specs: list[str]) -> list[dict]:
     """--vary key=v1,v2,... axes → the grid's override dicts."""
     axes = []
+    seen_keys = set()
     for spec in specs:
         if "=" not in spec:
             raise SystemExit(f"--vary expects key=v1,v2,...; got {spec!r}")
         key, _, vals = spec.partition("=")
         key = key.strip().removeprefix("optimization.")
+        if key in seen_keys:
+            # dict(combo) would silently keep only the last axis's value,
+            # shrinking the grid — put all values on ONE axis instead
+            raise SystemExit(
+                f"--vary {key} given twice; list all its values in one "
+                f"axis: --vary {key}=v1,v2,...")
+        seen_keys.add(key)
         try:
             values = [float(v) for v in vals.split(",") if v.strip() != ""]
         except ValueError:
@@ -113,14 +121,14 @@ def main():
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
 
     jax = setup_jax(platform=args.platform)
-    import jax.numpy as jnp
 
     from craniofacialsd_vae_tpu.analysis.tester import compute_latent_stats
     from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
                                                      DeviceBatchIterator,
                                                      build_datasets)
     from craniofacialsd_vae_tpu.manager import ModelManager
-    from craniofacialsd_vae_tpu.training import LOSS_KEYS
+    from craniofacialsd_vae_tpu.training import (LOSS_KEYS,
+                                                 assemble_epoch_plans)
     from craniofacialsd_vae_tpu.training.sweep import (
         build_variants, init_sweep_state, make_sweep_scanned_epochs,
         stack_hyperparams, variant_state)
@@ -133,8 +141,16 @@ def main():
             "sweep.py trains the net hyperparameters; end2end classifier "
             "heads are not swept — use mlp_training_type: after (the "
             "post-hoc zoo is fitted per variant) or train.py per setting")
-    if args.select not in LOSS_KEYS:
-        raise SystemExit(f"--select must be one of {LOSS_KEYS}")
+    # classification losses are constant 0.0 in a sweep (no end2end head)
+    # and accuracy ranks the wrong way under a minimizing sort
+    selectable = [k for k in LOSS_KEYS
+                  if not k.startswith("classification")]
+    if args.select not in selectable:
+        raise SystemExit(f"--select must be one of {selectable}")
+    if int(config["optimization"]["epochs"]) < 1:
+        raise SystemExit("optimization.epochs (or --epochs) must be >= 1")
+    if int(args.chunk_epochs) < 1:
+        raise SystemExit("--chunk_epochs must be >= 1")
 
     variants = build_variants(config, overrides)
     hp = stack_hyperparams(variants)
@@ -179,24 +195,14 @@ def main():
     while done < epochs:
         n_ep = min(int(args.chunk_epochs), epochs - done)
         # shared plans: every variant sees the same batches in the same
-        # order (manager.run_epochs_scanned's assembly, verbatim)
-        tr_plans = [train_iter.epoch_plan() for _ in range(n_ep)]
-        va_plans = [val_iter.epoch_plan() for _ in range(n_ep)]
-        tr_x, va_x = tr_plans[0][0], va_plans[0][0]
-        tr_idx = np.stack([p[1] for p in tr_plans])
-        va_idx = np.stack([p[1] for p in va_plans])
-        st, sv = tr_idx.shape[1], va_idx.shape[1]
-        per = st + sv
-        e_ar = np.arange(n_ep)[:, None]
-        tr_sid = step_counter + 1 + e_ar * per + np.arange(st)[None]
-        va_sid = step_counter + 1 + e_ar * per + st + np.arange(sv)[None]
-        step_counter += n_ep * per
-
-        state, tr_m, va_m = sweep_fn(
-            state, hp, manager.geometry, tr_x, va_x,
-            jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
-            jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),
-            None, None, manager._class_weights, epoch_key)
+        # order (the manager's scanned-epoch assembly — one definition,
+        # training.assemble_epoch_plans, so the step-id/key schedule the
+        # variant-parity contract depends on cannot drift)
+        plan_args, step_counter = assemble_epoch_plans(
+            train_iter, val_iter, n_ep, step_counter)
+        state, tr_m, va_m = sweep_fn(state, hp, manager.geometry,
+                                     *plan_args, manager._class_weights,
+                                     epoch_key)
         va_m = jax.device_get(va_m)                   # one sync per chunk
         done += n_ep
         last_va = {key: np.asarray(va_m[key])[:, -1] for key in LOSS_KEYS}
@@ -240,13 +246,16 @@ def main():
         manifest["variants"].append(entry)
         print(f"variant {i}: {entry['overrides']} → val {args.select} "
               f"{entry['val'][args.select]:.5f} ({vdir})")
-    ranked = sorted(manifest["variants"],
-                    key=lambda v: v["val"][args.select])
-    manifest["best"] = ranked[0]
+    # the manifest lists variants RANKED by --select (best first), as
+    # documented; grid order is recoverable from each entry's dir index
+    manifest["variants"] = sorted(manifest["variants"],
+                                  key=lambda v: v["val"][args.select])
+    manifest["best"] = manifest["variants"][0]
     with open(os.path.join(output_dir, "sweep.json"), "w") as f:
         json.dump(manifest, f, indent=1)
-    print(f"best: {ranked[0]['dir']} {ranked[0]['overrides']} "
-          f"(val {args.select} {ranked[0]['val'][args.select]:.5f}); "
+    best = manifest["best"]
+    print(f"best: {best['dir']} {best['overrides']} "
+          f"(val {args.select} {best['val'][args.select]:.5f}); "
           f"done in {time.time() - t0:.1f}s → {output_dir}")
 
 

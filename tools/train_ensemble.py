@@ -72,7 +72,6 @@ def main():
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
 
     jax = setup_jax(platform=args.platform)
-    import jax.numpy as jnp
 
     from craniofacialsd_vae_tpu.analysis.tester import compute_latent_stats
     from craniofacialsd_vae_tpu.data.dataset import (BatchIterator,
@@ -80,7 +79,8 @@ def main():
                                                      build_datasets)
     from craniofacialsd_vae_tpu.manager import ModelManager
     from craniofacialsd_vae_tpu.models.mlp import init_mlp
-    from craniofacialsd_vae_tpu.training import LOSS_KEYS
+    from craniofacialsd_vae_tpu.training import (LOSS_KEYS,
+                                                 assemble_epoch_plans)
     from craniofacialsd_vae_tpu.training.ensemble import (
         ensemble_epoch_keys, init_ensemble_state,
         make_ensemble_scanned_epochs, member_state)
@@ -142,31 +142,14 @@ def main():
     while done < epochs:
         n_ep = min(int(args.chunk_epochs), epochs - done)
         # shared plans: every member sees the same batches in the same
-        # order (manager.run_epochs_scanned's assembly, verbatim)
-        tr_plans = [train_iter.epoch_plan() for _ in range(n_ep)]
-        va_plans = [val_iter.epoch_plan() for _ in range(n_ep)]
-        tr_x, va_x = tr_plans[0][0], va_plans[0][0]
-        tr_idx = np.stack([p[1] for p in tr_plans])
-        va_idx = np.stack([p[1] for p in va_plans])
-        with_labels = bool(manager._mlp_end2end
-                           and tr_plans[0][2] is not None
-                           and va_plans[0][2] is not None)
-        tr_lab = jnp.asarray(np.stack([p[2] for p in tr_plans])) \
-            if with_labels else None
-        va_lab = jnp.asarray(np.stack([p[2] for p in va_plans])) \
-            if with_labels else None
-        st, sv = tr_idx.shape[1], va_idx.shape[1]
-        per = st + sv
-        e_ar = np.arange(n_ep)[:, None]
-        tr_sid = step_counter + 1 + e_ar * per + np.arange(st)[None]
-        va_sid = step_counter + 1 + e_ar * per + st + np.arange(sv)[None]
-        step_counter += n_ep * per
-
-        state, tr_m, va_m = ens_fn(
-            state, manager.geometry, tr_x, va_x,
-            jnp.asarray(tr_idx), jnp.asarray(tr_sid.astype(np.int32)),
-            jnp.asarray(va_idx), jnp.asarray(va_sid.astype(np.int32)),
-            tr_lab, va_lab, manager._class_weights, keys)
+        # order (the manager's scanned-epoch assembly — one definition,
+        # training.assemble_epoch_plans, so the step-id/key schedule the
+        # member-parity contract depends on cannot drift)
+        plan_args, step_counter = assemble_epoch_plans(
+            train_iter, val_iter, n_ep, step_counter,
+            with_labels=manager._mlp_end2end)
+        state, tr_m, va_m = ens_fn(state, manager.geometry, *plan_args,
+                                   manager._class_weights, keys)
         va_m = jax.device_get(va_m)                   # one sync per chunk
         done += n_ep
         last_va = {k: np.asarray(va_m[k])[:, -1] for k in LOSS_KEYS}
