@@ -177,7 +177,11 @@ def ensemble_run(cli_workspace):
     proc = subprocess.run(
         [sys.executable, "tools/train_ensemble.py", "--config", cfg_path,
          "--id", "cli_ens", "--output_path", str(root), "--members", "2",
-         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu"],
+         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu",
+         # member-parallel path: 2 members sharded over 2 virtual devices
+         # (parity with the unsharded dispatch is pinned separately in
+         # test_member_sharding.py; here the flag runs end-to-end)
+         "--shard_members", "--virtual_devices", "2"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, \
         f"train_ensemble.py failed:\n{proc.stdout[-3000:]}" \

@@ -227,7 +227,10 @@ def test_sweep_cli(cli_workspace):
         [sys.executable, "tools/sweep.py", "--config", cfg_path,
          "--id", "cli_sweep", "--output_path", str(root),
          "--vary", "lr=1e-3,3e-3", "--vary", "weight_decay=0,1e-3",
-         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu"],
+         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu",
+         # variant-parallel path: the 2×2 grid sharded over 4 virtual
+         # devices (unsharded parity pinned in test_member_sharding.py)
+         "--shard_members", "--virtual_devices", "4"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, \
         f"sweep.py failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"

@@ -102,6 +102,12 @@ def main():
                         help="force the jax platform (e.g. cpu); the axon "
                              "TPU plugin ignores JAX_PLATFORMS")
     parser.add_argument("--virtual_devices", type=int, default=None)
+    parser.add_argument("--shard_members", action="store_true",
+                        help="shard the variant axis over all visible "
+                             "devices (variants are independent, so the "
+                             "partitioned program has no collectives — "
+                             "near-perfect scaling; the grid size must be "
+                             "a multiple of the device count)")
     args = parser.parse_args()
 
     if args.virtual_devices:
@@ -179,6 +185,17 @@ def main():
 
     state = init_sweep_state(manager.net_config, manager.geometry, k,
                              seed=args.seed)
+    if args.shard_members:
+        from craniofacialsd_vae_tpu.parallel import (make_member_mesh,
+                                                     shard_member_axis)
+        mesh = make_member_mesh(min(len(jax.devices()), k))
+        try:
+            state = shard_member_axis(mesh, state)
+            hp = shard_member_axis(mesh, hp)
+        except ValueError as e:
+            raise SystemExit(f"--shard_members: {e}")
+        print(f"variant axis sharded over {mesh.devices.size} devices "
+              f"({k // mesh.devices.size} variants/device)")
     sweep_fn = make_sweep_scanned_epochs(manager.net_config, batch_size,
                                          swap=manager.swap_features)
     epoch_key = jax.random.PRNGKey(args.seed + 1)   # manager's contract,

@@ -60,6 +60,12 @@ def main():
                         help="force the jax platform (e.g. cpu); the axon "
                              "TPU plugin ignores JAX_PLATFORMS")
     parser.add_argument("--virtual_devices", type=int, default=None)
+    parser.add_argument("--shard_members", action="store_true",
+                        help="shard the member axis over all visible "
+                             "devices (members are independent, so the "
+                             "partitioned program has no collectives — "
+                             "near-perfect scaling; --members must be a "
+                             "multiple of the device count)")
     args = parser.parse_args()
 
     if args.virtual_devices:
@@ -126,6 +132,17 @@ def main():
                                 base_seed=args.seed, clf_init=clf_init,
                                 clf_optimizer=manager.clf_optimizer)
     keys = ensemble_epoch_keys(members, base_seed=args.seed)
+    if args.shard_members:
+        from craniofacialsd_vae_tpu.parallel import (make_member_mesh,
+                                                     shard_member_axis)
+        mesh = make_member_mesh(min(len(jax.devices()), members))
+        try:
+            state = shard_member_axis(mesh, state)
+            keys = shard_member_axis(mesh, keys)
+        except ValueError as e:
+            raise SystemExit(f"--shard_members: {e}")
+        print(f"member axis sharded over {mesh.devices.size} devices "
+              f"({members // mesh.devices.size} members/device)")
     ens_fn = make_ensemble_scanned_epochs(
         manager.net_config, manager.loss_weights, manager.optimizer,
         batch_size, swap=manager.swap_features,
