@@ -318,21 +318,13 @@ class VertexShardedModel:
                              "valid": jnp.asarray(valid)}
         return self._loss_tables
 
-    def make_train_step(self, weights, optimizer, batch_size: int,
-                        swap: bool = True):
-        """Vertex-sharded training step — losses and the optimizer update
-        under the vertex mesh, matching training.trainer.make_train_step
-        update-for-update (same key-splitting, swap, loss semantics).
-
-        step(state, x_sharded [D·S₀, B, 3], key) → (state, metrics).
-
-        On a 2-D (data × vertex) mesh the same step composes DP with
-        vertex sharding: x is [D_v·S₀, D_d·B, 3] (vertex dim sharded over
-        'vertex', batch dim over 'data'), each data shard builds its own
-        swap grid from the shared key, vertex shards psum their
-        partitioned loss terms and data shards pmean the resulting
-        gradients — DP over ICI and SP halo exchanges from one compiled
-        program.
+    def _build_bodies(self, weights, optimizer, batch_size: int,
+                      swap: bool = True):
+        """Shared un-shard_mapped bodies for the per-step and scanned
+        builders: (tables, lt, device_step, eval_body, data_axis).
+        ONE definition of the loss/update semantics so the per-step and
+        scanned paths cannot drift apart (the same rule
+        training.trainer._build_raw_step enforces for the DP builders).
 
         Locality split: reconstruction and the Laplacian regularizer are
         per-vertex local (computed on each shard, masked to real rows,
@@ -418,6 +410,15 @@ class VertexShardedModel:
 
         data_axis = self.data_axis if len(self.mesh.shape) > 1 else None
 
+        def finish_metrics(metrics):
+            metrics = dict(metrics)
+            metrics["tot"] = (metrics["reconstruction"]
+                              + weights.kl * metrics["kl"]
+                              + weights.latent_consistency
+                              * metrics["latent_consistency"]
+                              + weights.laplacian * metrics["laplacian"])
+            return metrics
+
         def device_step(state, tables, lt, x, key):
             if data_axis is not None:
                 # per-data-replica RNG (train_parallel.py:41-43 semantics):
@@ -435,11 +436,7 @@ class VertexShardedModel:
                 # (same semantics as make_parallel_train_step's pmean)
                 grads = jax.lax.pmean(grads, data_axis)
                 metrics = jax.lax.pmean(metrics, data_axis)
-            metrics["tot"] = (metrics["reconstruction"]
-                              + weights.kl * metrics["kl"]
-                              + weights.latent_consistency
-                              * metrics["latent_consistency"]
-                              + weights.laplacian * metrics["laplacian"])
+            metrics = finish_metrics(metrics)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
@@ -448,6 +445,37 @@ class VertexShardedModel:
                                    clf_opt_state=state.clf_opt_state,
                                    epoch=state.epoch)
             return new_state, metrics
+
+        def eval_body(state, tables, lt, x, key):
+            """Validation metrics only — same loss semantics, no update."""
+            if data_axis is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(data_axis))
+            _, metrics = device_loss(state.params, tables, lt, x, key)
+            metrics = jax.lax.psum(metrics, VERTEX_AXIS)
+            if data_axis is not None:
+                metrics = jax.lax.pmean(metrics, data_axis)
+            return finish_metrics(metrics)
+
+        return tables, lt, device_step, eval_body, data_axis
+
+    def make_train_step(self, weights, optimizer, batch_size: int,
+                        swap: bool = True):
+        """Vertex-sharded training step — losses and the optimizer update
+        under the vertex mesh, matching training.trainer.make_train_step
+        update-for-update (same key-splitting, swap, loss semantics).
+
+        step(state, x_sharded [D·S₀, B, 3], key) → (state, metrics).
+
+        On a 2-D (data × vertex) mesh the same step composes DP with
+        vertex sharding: x is [D_v·S₀, D_d·B, 3] (vertex dim sharded over
+        'vertex', batch dim over 'data'), each data shard builds its own
+        swap grid from the shared key, vertex shards psum their
+        partitioned loss terms and data shards pmean the resulting
+        gradients — DP over ICI and SP halo exchanges from one compiled
+        program."""
+        tables, lt, device_step, _, data_axis = self._build_bodies(
+            weights, optimizer, batch_size, swap)
 
         x_spec = P(VERTEX_AXIS, data_axis) if data_axis is not None \
             else P(VERTEX_AXIS)
@@ -461,6 +489,119 @@ class VertexShardedModel:
         @jax.jit
         def run(state, x_sharded, key):
             return step(state, tables, lt, x_sharded, key)
+
+        return run
+
+    def make_scanned_epoch(self, weights, optimizer, batch_size: int,
+                           swap: bool = True):
+        """Whole vertex-sharded epoch in ONE dispatch — the scanned
+        counterpart of make_train_step, closing the host-free-epoch gap on
+        the 1-D vertex and 2-D (data × vertex) meshes (per-step dispatch
+        re-pays the ~10×-of-compute tunnel round-trip the single-chip and
+        DP scans eliminated; docs/PERFORMANCE.md).
+
+        epoch(state, data_x [D_v·S₀, n, 3], idx [S, G], step_ids [S], key)
+          → (state, metrics averaged over the S steps)
+
+        data_x is the vertex-major resident split, vertex-sharded along
+        axis 0 and replicated across the data axis; idx carries G =
+        D_data·B global batch columns per step, sharded over the data axis
+        (G = B and replicated on a 1-D mesh). The scan slices each batch
+        on device with a local take along the replicated sample axis — no
+        collective, no host. Key schedule: fold_in(epoch_key, step_id)
+        then fold_in(·, data_index) — identical to the per-step composed
+        path driven with per-step folded keys and to
+        trainer._fold_step_key, so the scanned and per-step paths match
+        update-for-update (tests/test_vertex_sharding.py asserts parity).
+        """
+        from functools import partial
+
+        tables, lt, device_step, _, data_axis = self._build_bodies(
+            weights, optimizer, batch_size, swap)
+
+        def epoch_body(state, tables, lt, data_x, idx, step_ids, key):
+            def body(s, xs):
+                idx_t, sid_t = xs
+                x = jnp.take(data_x, idx_t, axis=1)     # [S₀, B, 3] local
+                k = jax.random.fold_in(key, sid_t)
+                return device_step(s, tables, lt, x, k)
+
+            state, metrics = jax.lax.scan(body, state, (idx, step_ids))
+            return state, jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                       metrics)
+
+        idx_spec = P(None, data_axis) if data_axis is not None else P()
+        epoch = shard_map(
+            epoch_body, mesh=self.mesh,
+            in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS),
+                      idx_spec, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(state, data_x, idx, step_ids, key):
+            return epoch(state, tables, lt, data_x, idx, step_ids, key)
+
+        return run
+
+    def make_scanned_epochs(self, weights, optimizer, batch_size: int,
+                            swap: bool = True):
+        """MULTI-epoch vertex-sharded training (train steps + per-epoch
+        validation) in one dispatch — the composed-mesh analog of
+        parallel.make_scanned_parallel_epochs (nested lax.scan inside the
+        2-D shard_map; halo all_to_alls live inside the step body).
+
+        epochs_fn(state, train_x [D_v·S₀, n_t, 3], val_x [D_v·S₀, n_v, 3],
+                  tr_idx [E, St, G], tr_sid [E, St],
+                  va_idx [E, Sv, G], va_sid [E, Sv], key)
+          → (state, train_metrics [E] per key, val_metrics [E] per key)
+        """
+        from functools import partial
+
+        tables, lt, device_step, eval_body, data_axis = self._build_bodies(
+            weights, optimizer, batch_size, swap)
+
+        def epochs_fn(state, tables, lt, train_x, val_x, tr_idx, tr_sid,
+                      va_idx, va_sid, key):
+            def train_body(s, xs):
+                idx_t, sid_t = xs
+                x = jnp.take(train_x, idx_t, axis=1)
+                k = jax.random.fold_in(key, sid_t)
+                return device_step(s, tables, lt, x, k)
+
+            def epoch_body(s, xs):
+                tr_i, tr_s, va_i, va_s = xs
+                s, tr_m = jax.lax.scan(train_body, s, (tr_i, tr_s))
+
+                def val_body(carry, vxs):
+                    idx_t, sid_t = vxs
+                    x = jnp.take(val_x, idx_t, axis=1)
+                    k = jax.random.fold_in(key, sid_t)
+                    return carry, eval_body(s, tables, lt, x, k)
+
+                _, va_m = jax.lax.scan(val_body, 0, (va_i, va_s))
+                return s, (jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                        tr_m),
+                           jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                        va_m))
+
+            state, (tr_all, va_all) = jax.lax.scan(
+                epoch_body, state, (tr_idx, tr_sid, va_idx, va_sid))
+            return state, tr_all, va_all
+
+        col3 = P(None, None, data_axis) if data_axis is not None else P()
+        epochs = shard_map(
+            epochs_fn, mesh=self.mesh,
+            in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS),
+                      P(VERTEX_AXIS), col3, P(), col3, P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(state, train_x, val_x, tr_idx, tr_sid, va_idx, va_sid,
+                key):
+            return epochs(state, tables, lt, train_x, val_x, tr_idx,
+                          tr_sid, va_idx, va_sid, key)
 
         return run
 

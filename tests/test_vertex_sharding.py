@@ -261,3 +261,158 @@ class TestVertexShardedForward:
         np.testing.assert_allclose(np.asarray(out)[:n],
                                    np.asarray(out_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestScannedVertexEpochs:
+    """Host-free epochs on the vertex-sharded (and 2-D composed) meshes:
+    the scanned paths must match the per-step paths update-for-update
+    (same fold_in(epoch_key, step_id) → fold_in(·, data_index) schedule)."""
+
+    def _weights_opt(self):
+        import optax
+
+        from craniofacialsd_vae_tpu.training import LossWeights
+
+        return (LossWeights(kl=1e-4, laplacian=0.1, latent_consistency=0.5),
+                optax.adam(1e-2))
+
+    def test_scanned_epoch_matches_per_step_2d(self, setup):
+        """lax.scan inside the 2-D (data × vertex) shard_map equals the
+        per-step composed path driven with per-step folded keys."""
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from craniofacialsd_vae_tpu.training import create_train_state
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b, d_data, d_vert = 2, 2, 4
+        n_data, n_steps = 6, 3
+        weights, opt = self._weights_opt()
+        key = jax.random.PRNGKey(21)
+        rng = np.random.default_rng(8)
+
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(d_data, d_vert),
+                      ("data", VERTEX_AXIS))
+        model = VertexShardedModel(bundle, config, mesh2d)
+        data_vm = rng.normal(size=(n, n_data, 3)).astype(np.float32)
+        padded = model.shard_vertices(data_vm)   # [D_v·S₀, n_data, 3]
+        idx = rng.integers(0, n_data,
+                           size=(n_steps, d_data * b)).astype(np.int32)
+
+        # oracle: per-step composed path, per-step folded keys
+        step = model.make_train_step(weights, opt, batch_size=b, swap=True)
+        state_a = create_train_state(jax.tree.map(jnp.array, params), opt)
+        for s in range(n_steps):
+            k = jax.random.fold_in(key, s)
+            x = jnp.asarray(padded[:, idx[s], :])
+            state_a, m_a = step(state_a, x, k)
+
+        # scanned: whole epoch in one dispatch
+        epoch = model.make_scanned_epoch(weights, opt, batch_size=b,
+                                         swap=True)
+        state_b = create_train_state(jax.tree.map(jnp.array, params), opt)
+        state_b, metrics = epoch(state_b, jnp.asarray(padded),
+                                 jnp.asarray(idx),
+                                 jnp.arange(n_steps, dtype=jnp.int32), key)
+
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-4, atol=2e-6),
+            state_a.params, state_b.params)
+        # metrics are averaged over steps — finite and keyed like per-step
+        for k in ("reconstruction", "kl", "laplacian",
+                  "latent_consistency", "tot"):
+            assert np.isfinite(float(metrics[k])), k
+
+    def test_scanned_epoch_matches_per_step_1d(self, setup):
+        """Same parity on the pure vertex mesh (no data axis)."""
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from craniofacialsd_vae_tpu.training import create_train_state
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b, n_data, n_steps = 2, 5, 2
+        weights, opt = self._weights_opt()
+        key = jax.random.PRNGKey(23)
+        rng = np.random.default_rng(9)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), (VERTEX_AXIS,))
+        model = VertexShardedModel(bundle, config, mesh)
+        data_vm = rng.normal(size=(n, n_data, 3)).astype(np.float32)
+        padded = model.shard_vertices(data_vm)
+        idx = rng.integers(0, n_data, size=(n_steps, b)).astype(np.int32)
+
+        step = model.make_train_step(weights, opt, batch_size=b, swap=True)
+        state_a = create_train_state(jax.tree.map(jnp.array, params), opt)
+        for s in range(n_steps):
+            k = jax.random.fold_in(key, s)
+            state_a, _ = step(state_a, jnp.asarray(padded[:, idx[s], :]), k)
+
+        epoch = model.make_scanned_epoch(weights, opt, batch_size=b,
+                                         swap=True)
+        state_b = create_train_state(jax.tree.map(jnp.array, params), opt)
+        state_b, _ = epoch(state_b, jnp.asarray(padded), jnp.asarray(idx),
+                           jnp.arange(n_steps, dtype=jnp.int32), key)
+
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-4, atol=2e-6),
+            state_a.params, state_b.params)
+
+    def test_scanned_multi_epoch_2d_runs(self, setup):
+        """Multi-epoch (train + per-epoch validation) nested scan on the
+        composed mesh: one dispatch, finite [E]-shaped metrics, and the
+        train trajectory equals E sequential single-epoch dispatches."""
+        from craniofacialsd_vae_tpu.parallel.vertex_sharding import (
+            VERTEX_AXIS, VertexShardedModel)
+        from craniofacialsd_vae_tpu.training import create_train_state
+        from jax.sharding import Mesh
+
+        template, bundle, geom, config, params = setup
+        n = template.num_vertices
+        b, d_data, d_vert = 2, 2, 4
+        n_data, E, St, Sv = 6, 2, 2, 1
+        weights, opt = self._weights_opt()
+        key = jax.random.PRNGKey(29)
+        rng = np.random.default_rng(10)
+
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(d_data, d_vert),
+                      ("data", VERTEX_AXIS))
+        model = VertexShardedModel(bundle, config, mesh2d)
+        data_vm = rng.normal(size=(n, n_data, 3)).astype(np.float32)
+        padded = jnp.asarray(model.shard_vertices(data_vm))
+        G = d_data * b
+        tr_idx = rng.integers(0, n_data, size=(E, St, G)).astype(np.int32)
+        va_idx = rng.integers(0, n_data, size=(E, Sv, G)).astype(np.int32)
+        per = St + Sv
+        e_ar = np.arange(E)[:, None]
+        tr_sid = (e_ar * per + np.arange(St)[None]).astype(np.int32)
+        va_sid = (e_ar * per + St + np.arange(Sv)[None]).astype(np.int32)
+
+        epochs = model.make_scanned_epochs(weights, opt, batch_size=b,
+                                           swap=True)
+        state = create_train_state(jax.tree.map(jnp.array, params), opt)
+        state, tr_m, va_m = epochs(state, padded, padded,
+                                   jnp.asarray(tr_idx),
+                                   jnp.asarray(tr_sid),
+                                   jnp.asarray(va_idx),
+                                   jnp.asarray(va_sid), key)
+        assert np.asarray(tr_m["tot"]).shape == (E,)
+        assert np.asarray(va_m["tot"]).shape == (E,)
+        assert np.all(np.isfinite(np.asarray(tr_m["tot"])))
+        assert np.all(np.isfinite(np.asarray(va_m["tot"])))
+
+        # oracle: E sequential single-epoch scans with the same step ids
+        epoch = model.make_scanned_epoch(weights, opt, batch_size=b,
+                                         swap=True)
+        state_o = create_train_state(jax.tree.map(jnp.array, params), opt)
+        for e in range(E):
+            state_o, _ = epoch(state_o, padded, jnp.asarray(tr_idx[e]),
+                               jnp.asarray(tr_sid[e]), key)
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-4, atol=2e-6),
+            state_o.params, state.params)
