@@ -24,6 +24,31 @@ DEMO_FILES = "/root/reference/demo_files"
 TEMPLATE_PLY = os.path.join(DEMO_FILES, "template.ply")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier (subprocess/e2e tests, ~15 extra min)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: subprocess/e2e tests excluded from the default quick tier "
+        "(enable with --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest -q` runs the quick tier (<5 min — the
+    builder-iteration loop); `pytest -q --runslow` runs the full pyramid
+    including the subprocess e2e tests (VERDICT r3 weak #6)."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier — run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def has_demo_files():
     return os.path.exists(TEMPLATE_PLY)
 

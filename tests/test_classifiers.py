@@ -163,6 +163,7 @@ class TestMLP:
         # blobs; chance is 0.25
         assert mlp.score(x, y) > 0.6
 
+    @pytest.mark.slow
     def test_restarts_pick_best_seed(self, blobs):
         """fit_all's best-of-N restart selection must never do worse than
         any individual seed's fit (measured motivation: on the 76-sample

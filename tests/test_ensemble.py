@@ -189,6 +189,7 @@ def ensemble_run(cli_workspace):
     return os.path.join(str(root), "outputs", "cli_ens")
 
 
+@pytest.mark.slow
 def test_train_ensemble_cli(cli_workspace, ensemble_run):
     """tools/train_ensemble.py artifacts: K standard run dirs, each
     servable (DiagnosisService.from_run_dir + diagnose), plus the
@@ -247,6 +248,7 @@ def _ensemble_probe_batch(svc, n=3):
                      for _ in range(n)]).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_ensemble_service(ensemble_run):
     """EnsembleService: consensus == summarize_ensemble over the members'
     own diagnose reports, member blocks attached (latents dropped),
@@ -288,6 +290,7 @@ def test_ensemble_service(ensemble_run):
                ["sample_votes"].values()) == 4
 
 
+@pytest.mark.slow
 def test_ensemble_service_rejects_non_ensemble_and_mismatch(ensemble_run):
     from craniofacialsd_vae_tpu.serving import (DiagnosisService,
                                                 EnsembleService)
@@ -303,6 +306,7 @@ def test_ensemble_service_rejects_non_ensemble_and_mismatch(ensemble_run):
     assert same.n_members == 2
 
 
+@pytest.mark.slow
 def test_serve_cli_ensemble_subprocess(ensemble_run):
     """tools/serve.py on an ensemble dir: auto-detects ensemble.json,
     answers /healthz (n_members) and consensus /diagnose, and 400s a

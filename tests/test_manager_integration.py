@@ -117,6 +117,7 @@ def test_full_cycle(workspace):
     assert imgs.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_run_epochs_scanned_matches_sequential(workspace):
     """manager.run_epochs_scanned (E epochs + validation in one dispatch)
     must produce the same parameters and losses as sequential
@@ -164,6 +165,7 @@ def test_run_epochs_scanned_matches_sequential(workspace):
                                    rtol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_data_parallel_scanned_epoch_matches_per_step(workspace):
     """Under enable_data_parallel, run_epoch with a device-resident
     iterator takes the shard_map'd scanned path (one dispatch/epoch) and

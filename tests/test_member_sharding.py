@@ -69,6 +69,7 @@ def _assert_spans_mesh(state, n_devices):
          f"{len(leaf.sharding.device_set)} of {n_devices} devices")
 
 
+@pytest.mark.slow
 def test_ensemble_sharded_matches_unsharded(tiny_setup):
     from craniofacialsd_vae_tpu.parallel import (make_member_mesh,
                                                  shard_member_axis)
@@ -104,6 +105,7 @@ def test_ensemble_sharded_matches_unsharded(tiny_setup):
                                    err_msg=f"val metric {k}")
 
 
+@pytest.mark.slow
 def test_sweep_sharded_matches_unsharded(tiny_setup):
     from craniofacialsd_vae_tpu.parallel import (make_member_mesh,
                                                  shard_member_axis)

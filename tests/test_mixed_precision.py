@@ -48,6 +48,7 @@ class TestMixedPrecision:
         np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_f),
                                    atol=5e-2, rtol=5e-2)
 
+    @pytest.mark.slow
     def test_gradients_track_fp32(self, rng):
         """Cosine similarity of the full gradient pytree vs fp32 — the
         mixed backward (bf16 cotangents through the deep tables, fp32
@@ -147,6 +148,7 @@ class TestMixedPrecision:
             f"only {frac:.0%} of recon values carry sub-bf16 precision — "
             "the final conv output looks bf16-rounded")
 
+    @pytest.mark.slow
     def test_data_parallel_scanned_epoch(self, rng):
         """The host-free DP epoch (lax.scan inside shard_map) must accept
         the mixed policy: bf16 activations per replica, fp32 psum'd grads,
@@ -178,6 +180,7 @@ class TestMixedPrecision:
         for leaf in jax.tree.leaves(state.params):
             assert leaf.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_vertex_sharded_mixed(self, rng):
         """The vertex-sharded (halo-exchange) model honors the mixed
         policy: its forward tracks the unsharded mixed forward, and a full

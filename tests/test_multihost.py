@@ -93,6 +93,7 @@ class TestMultihostBatchIterator:
         host = list(base)[0]
         np.testing.assert_array_equal(np.asarray(batches[0]["x"]), host["x"])
 
+    @pytest.mark.slow
     def test_feeds_sharded_train_step(self):
         """run_epoch over a MultihostBatchIterator with the parallel step:
         the end-to-end --multihost path on one process."""

@@ -1,6 +1,7 @@
 """Data-parallel train-step edges (parallel/train_parallel.py)."""
 
 import numpy as np
+import pytest
 
 import jax
 import optax
@@ -61,6 +62,7 @@ def _dp_setup(b=2, seed=0):
     return geom, config, opt, weights, mesh, data, n_data, fresh_state
 
 
+@pytest.mark.slow
 class TestScannedParallel:
     """The host-free DP epoch (lax.scan inside shard_map) must be
     update-for-update identical to the per-step shard_map path — same

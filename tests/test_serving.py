@@ -603,6 +603,7 @@ def test_plan_matches_tester(served_run, service, tmp_path):
         service.plan(latent=ref["z_patient"], n_linspace=1)
 
 
+@pytest.mark.slow
 def test_data_parallel_service_parity(served_run, service):
     """data_parallel=True shards each bucket's batch axis over the
     8-device virtual mesh (conftest); every answer must match the
@@ -711,6 +712,7 @@ def test_batch_diagnose_cli(served_run, service, tmp_path):
         assert recon.vertices.shape == raw[i].shape
 
 
+@pytest.mark.slow
 def test_serve_cli_subprocess(served_run):
     """tools/serve.py end-to-end as a real process: arg parsing, run-dir
     loading, bucket warmup, the startup banner (port announcement), a
@@ -751,6 +753,7 @@ def test_serve_cli_subprocess(served_run):
         proc.wait(timeout=30)
 
 
+@pytest.mark.slow
 def test_serve_cli_data_parallel_subprocess(served_run):
     """serve.py --data_parallel --warm_fit on an 8-device virtual mesh:
     DP bucket layout in healthz and a live batched diagnose."""
@@ -1071,6 +1074,7 @@ def test_export_input_validation(exported, tmp_path):
         model.encode(np.zeros((0, model.n_vertices, 3), np.float32))
 
 
+@pytest.mark.slow
 def test_export_cli_subprocess(served_run, tmp_path):
     """tools/export_model.py end-to-end: export + --verify in a fresh
     process, then load the artifacts back here."""

@@ -216,6 +216,7 @@ def test_state_bounds(sweep_setup):
         init_sweep_state(sweep_setup["config"], sweep_setup["plan"][0], 0)
 
 
+@pytest.mark.slow
 def test_sweep_cli(cli_workspace):
     """tools/sweep.py end-to-end: grid of 2 lr values → 2 standard run
     dirs whose config.yaml snapshots carry the overridden values, each
@@ -227,10 +228,11 @@ def test_sweep_cli(cli_workspace):
         [sys.executable, "tools/sweep.py", "--config", cfg_path,
          "--id", "cli_sweep", "--output_path", str(root),
          "--vary", "lr=1e-3,3e-3", "--vary", "weight_decay=0,1e-3",
-         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu",
-         # variant-parallel path: the 2×2 grid sharded over 4 virtual
-         # devices (unsharded parity pinned in test_member_sharding.py)
-         "--shard_members", "--virtual_devices", "4"],
+         # DEFAULT unsharded dispatch — the path a single-device user
+         # runs. The sharded CLI flow is covered end-to-end by
+         # test_ensemble.py (--shard_members there), so between the two
+         # tools both code paths get a real subprocess e2e (ADVICE r3).
+         "--epochs", "2", "--chunk_epochs", "2", "--platform", "cpu"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, \
         f"sweep.py failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"

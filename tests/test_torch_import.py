@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/e2e migration (~2 min)
+
 torch = pytest.importorskip("torch")
 
 from tests.test_training import _tiny_geometry  # noqa: E402

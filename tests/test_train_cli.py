@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess e2e (~4 min)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

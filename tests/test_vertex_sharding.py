@@ -263,6 +263,7 @@ class TestVertexShardedForward:
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestScannedVertexEpochs:
     """Host-free epochs on the vertex-sharded (and 2-D composed) meshes:
     the scanned paths must match the per-step paths update-for-update

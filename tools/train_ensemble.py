@@ -61,11 +61,15 @@ def main():
                              "TPU plugin ignores JAX_PLATFORMS")
     parser.add_argument("--virtual_devices", type=int, default=None)
     parser.add_argument("--shard_members", action="store_true",
-                        help="shard the member axis over all visible "
-                             "devices (members are independent, so the "
+                        help="shard the member axis over the device mesh "
+                             "(members are independent, so the "
                              "partitioned program has no collectives — "
-                             "near-perfect scaling; --members must be a "
-                             "multiple of the device count)")
+                             "near-perfect scaling). The mesh trims to "
+                             "min(devices, K, --shard_devices); --members "
+                             "must be a multiple of that mesh size")
+    parser.add_argument("--shard_devices", type=int, default=None,
+                        help="cap the member-mesh size used by "
+                             "--shard_members (default: min(devices, K))")
     args = parser.parse_args()
 
     if args.virtual_devices:
@@ -135,7 +139,10 @@ def main():
     if args.shard_members:
         from craniofacialsd_vae_tpu.parallel import (make_member_mesh,
                                                      shard_member_axis)
-        mesh = make_member_mesh(min(len(jax.devices()), members))
+        n_mesh = min(len(jax.devices()), members)
+        if args.shard_devices:
+            n_mesh = min(n_mesh, args.shard_devices)
+        mesh = make_member_mesh(n_mesh)
         try:
             state = shard_member_axis(mesh, state)
             keys = shard_member_axis(mesh, keys)
