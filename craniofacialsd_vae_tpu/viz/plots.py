@@ -188,6 +188,11 @@ def load_pickled_figure(path):
         from matplotlib.lines import Line2D as _L2D
         _Coll._gapcolor = None                           # mpl 3.8
         _L2D._gapcolor = None
+        # backstop for Line2D instances the artist walk cannot reach
+        # (e.g. created lazily at draw time from legend handler state):
+        # solid-line defaults, the mpl 3.6 rename of _dashSeq/_dashOffset
+        _L2D._unscaled_dash_pattern = (0, None)
+        _L2D._dash_pattern = (0, None)
         import matplotlib.text as mtext
         mtext.Text._parse_math = True                    # mpl 3.6
         mtext.Text._antialiased = True                   # mpl 3.7
@@ -265,10 +270,16 @@ def load_pickled_figure(path):
                     if isinstance(art, Collection) \
                             and "_offset_transform" not in d:
                         art._offset_transform = d.get("_transOffset")
-                    if isinstance(art, Line2D) \
-                            and "_dash_pattern" not in d:
-                        art._dash_pattern = (d.get("_dashOffset", 0),
-                                             d.get("_dashSeq"))
+                    if isinstance(art, Line2D):
+                        legacy = (d.get("_dashOffset", 0),
+                                  d.get("_dashSeq"))
+                        if "_dash_pattern" not in d:
+                            art._dash_pattern = legacy
+                        if "_unscaled_dash_pattern" not in d:
+                            # mpl 3.6 keeps both the lw-scaled and the
+                            # unscaled pattern; old pickles have neither
+                            art._unscaled_dash_pattern = \
+                                d.get("_dash_pattern", legacy)
                     import matplotlib.text as mtext
                     if isinstance(art, mtext.Text):
                         rot = d.get("_rotation", 0)

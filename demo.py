@@ -48,7 +48,6 @@ def main():
     setup_jax(platform=args.platform)
 
     from craniofacialsd_vae_tpu.analysis.classifiers import LatentClassifiers
-    from craniofacialsd_vae_tpu.analysis.tester import vector_linspace
     from craniofacialsd_vae_tpu.data.augmentation import \
         spectral_interpolation
     from craniofacialsd_vae_tpu.geometry import read_mesh
@@ -149,17 +148,55 @@ def main():
     except Exception as e:
         print(f"per-region overlay skipped ({type(e).__name__}: {e})")
 
-    # -- 5. surgical-planning interpolation -------------------------------
+    # -- 5. surgical-planning interpolation (reference demo.ipynb cells
+    # 19-25): walk the patient latent toward the healthy QDA Gaussian,
+    # locate the 3/2/1-std crossings, build per-procedure walks where
+    # only the affected regions' latent slices move, render the strips --
+    from craniofacialsd_vae_tpu.analysis.planning import plan_to_healthy
+
     sick = [i for i, n in enumerate(names) if n[0] in "acm"][0]
-    mean_h, _ = zoo.qda.class_covariance(manager.class2idx("n"))
-    z_interp = vector_linspace(z[sick], mean_h, 11)
-    gen = np.asarray(manager.generate(z_interp)) * std + mean
+    mean_h, cov_h = zoo.qda.class_covariance(manager.class2idx("n"))
+    plan = plan_to_healthy(z[sick], mean_h, cov_h, manager.latent_regions,
+                           n_p_to_3std=8)
+    path = plan["all_attributes"]                       # [11, D]
+    gen = np.asarray(manager.generate(path)) * std + mean
     imgs = render_batch(gen, manager.template.face)
     imageio.imwrite(
         os.path.join(args.out, "planning_interpolation.png"),
-        (make_image_grid(imgs, nrow=11) * 255).astype(np.uint8))
-    print(f"planning demo ({names[sick]} → healthy mean) → "
-          "planning_interpolation.png")
+        (make_image_grid(imgs, nrow=len(path)) * 255).astype(np.uint8))
+    print(f"planning demo ({names[sick]} → healthy mean, "
+          f"{len(path)}-stop all-attributes walk incl. 3/2/1-std "
+          "crossings) → planning_interpolation.png")
+
+    # per-procedure distance table (reference procedure_distances.csv):
+    # mean-squared latent distance to the healthy mean at each stop
+    import csv
+    rows = plan["procedure_distances"]
+    with open(os.path.join(args.out, "procedure_distances.csv"), "w",
+              newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"procedure distances ({len(rows)} procedures) → "
+          "procedure_distances.csv")
+
+    # per-procedure image grid (reference cells 19-25's grid/animation):
+    # one row per procedure at the named stops — patient, 3/2/1-std,
+    # healthy mean. Rendering is host-side and off the perf path; a few
+    # procedures keep the CPU demo bounded.
+    stops = [0, len(path) - 3, len(path) - 2, len(path) - 1]
+    n_proc = min(4, len(plan["procedures"]))
+    grid_rows = []
+    for proc in list(plan["procedures"])[:n_proc]:
+        zp = plan["procedures"][proc][stops]
+        gp = np.asarray(manager.generate(zp)) * std + mean
+        grid_rows.append(render_batch(gp, manager.template.face))
+    imageio.imwrite(
+        os.path.join(args.out, "planning_per_procedure.png"),
+        (make_image_grid(np.concatenate(grid_rows), nrow=len(stops))
+         * 255).astype(np.uint8))
+    print(f"per-procedure planning grid ({n_proc} procedures × "
+          f"{len(stops)} stops) → planning_per_procedure.png")
     print("demo complete →", args.out)
 
 
