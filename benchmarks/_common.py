@@ -336,3 +336,59 @@ def chained_gather_rate(idx, n_src: int, w: int, rng: np.random.Generator,
         dt = (tl - ts) / (n_long - n_short)
         best = dt if best is None else min(best, dt)
     return int(idx.shape[0]) / max(best, 1e-9)
+
+
+def resolve_headline(trials: list, provisional_ms, grid: int,
+                     fp32_available: bool, cap: float,
+                     roofline_mps=None, quiet_threshold: float = 1.2):
+    """bench.py's headline decision, extracted pure so the tiering is
+    unit-testable (tests/test_bench_logic.py): from whatever completed
+    before the deadline, decide the recorded number and its provenance.
+
+    Returns None when nothing was measured, else a dict with:
+      raw                meshes/s of the best trial (or the provisional)
+      correction         the factor applied (>= 1, capped)
+      correction_basis   'fp32_step_anchor' | 'generic_canary' |
+                         'uncorrected_provisional'
+      headline           raw * correction, capped at roofline_mps
+      headline_basis     'direct_quiet_measurement' |
+                         'anchored_correction[_roofline_capped]' |
+                         'provisional_uncorrected'
+      capped             True when the roofline cap engaged
+      extrapolated       the uncapped value (== headline unless capped)
+      best               the winning trial dict ({} for provisional)
+    """
+    if trials:
+        best = pick_best_trial(trials)
+        raw = best["meshes_per_sec"]
+        if fp32_available and "step_factor" in best:
+            basis_factor = best["step_factor"]
+            correction_basis = "fp32_step_anchor"
+        else:
+            basis_factor = best.get("factor", 1.0)
+            correction_basis = "generic_canary"
+        correction = quiet_correction(basis_factor, cap)
+    elif provisional_ms is not None:
+        best, raw = {}, grid / provisional_ms * 1e3
+        correction, correction_basis = 1.0, "uncorrected_provisional"
+    else:
+        return None
+
+    headline = raw * correction
+    extrapolated = headline
+    capped = roofline_mps is not None and headline > roofline_mps
+    if capped:
+        headline = roofline_mps
+    if correction <= quiet_threshold and not capped and trials \
+            and correction_basis == "fp32_step_anchor":
+        basis = "direct_quiet_measurement"
+    elif capped:
+        basis = "anchored_correction_roofline_capped"
+    elif correction_basis == "uncorrected_provisional":
+        basis = "provisional_uncorrected"
+    else:
+        basis = "anchored_correction"
+    return {"raw": raw, "correction": correction,
+            "correction_basis": correction_basis, "headline": headline,
+            "headline_basis": basis, "capped": capped,
+            "extrapolated": extrapolated, "best": best}

@@ -122,3 +122,70 @@ def test_exit_keys_override():
         clock=itertools.count(0, 1.0).__next__, log=lambda *a: None)
     assert len(trials) == 1                 # exited on the first window
     assert trials[0]["step_factor"] == 3.5  # correction factor intact
+
+
+class TestResolveHeadline:
+    """The deadline-tiered headline decision (benchmarks._common
+    .resolve_headline): exactly what lands in BENCH_r*.json under each
+    degradation tier, with provenance."""
+
+    def _trial(self, mps, step_factor=None, factor=1.0):
+        t = {"meshes_per_sec": mps, "factor": factor,
+             "stream_factor": 1.0}
+        if step_factor is not None:
+            t["step_factor"] = step_factor
+        return t
+
+    def test_quiet_trial_is_direct_measurement(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(2800, step_factor=1.05)],
+                             None, 16, True, 4.0, roofline_mps=3000)
+        assert r["headline"] == pytest.approx(2800 * 1.05)
+        assert r["headline_basis"] == "direct_quiet_measurement"
+        assert r["correction_basis"] == "fp32_step_anchor"
+        assert not r["capped"]
+
+    def test_contended_trial_is_anchored_and_capped(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(950, step_factor=3.48)],
+                             None, 16, True, 4.0, roofline_mps=2749)
+        assert r["headline"] == 2749
+        assert r["headline_basis"] == "anchored_correction_roofline_capped"
+        assert r["extrapolated"] == pytest.approx(950 * 3.48)
+        assert r["capped"]
+
+    def test_no_fp32_falls_back_to_generic_canary(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(950, factor=1.6)],
+                             None, 16, False, 4.0)
+        assert r["correction_basis"] == "generic_canary"
+        assert r["headline"] == pytest.approx(950 * 1.6)
+        assert r["headline_basis"] == "anchored_correction"
+
+    def test_provisional_only(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([], 16.8, 16, False, 4.0, roofline_mps=2749)
+        assert r["correction"] == 1.0
+        assert r["headline"] == pytest.approx(16 / 16.8 * 1e3)
+        assert r["headline_basis"] == "provisional_uncorrected"
+        assert r["best"] == {}
+
+    def test_nothing_measured(self):
+        from benchmarks._common import resolve_headline
+        assert resolve_headline([], None, 16, False, 4.0) is None
+
+    def test_correction_capped(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(500, step_factor=17.0)],
+                             None, 16, True, 4.0)
+        assert r["correction"] == 4.0
+        assert r["headline"] == pytest.approx(2000)
+
+    def test_quietest_trial_wins(self):
+        from benchmarks._common import resolve_headline
+        trials = [self._trial(900, step_factor=3.0),
+                  self._trial(2700, step_factor=1.1),
+                  self._trial(1200, step_factor=2.0)]
+        r = resolve_headline(trials, None, 16, True, 4.0)
+        assert r["raw"] == 2700
+        assert r["headline_basis"] == "direct_quiet_measurement"
