@@ -286,6 +286,26 @@ def _import_reference_norm(path):
             d["std"].numpy().astype(np.float32))
 
 
+def _dataset_fingerprint(root: str, summary) -> str:
+    """Cheap identity of the raw dataset the caches were built from:
+    sha1 over the sorted (name, size, mtime_ns) of the non-augmented
+    input meshes. Regenerating a dataset always rewrites files (mtime
+    moves), so any regeneration invalidates; a spurious rebuild after a
+    plain copy errs on the safe side."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for name in sorted(find_filenames(root, summary.used,
+                                      find_augmented=False)):
+        p = os.path.join(root, name)
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        except OSError:
+            h.update(f"{name}:missing\n".encode())
+    return h.hexdigest()
+
+
 def build_datasets(config: dict, template, seed: int = 0):
     """→ (train, val, test: MeshArrays, normalization_dict, class_weights).
 
@@ -303,9 +323,31 @@ def build_datasets(config: dict, template, seed: int = 0):
                                   data_cfg.get("data_type", "heads"))
 
     split_path = os.path.join(precomp, "data_split.json")
+    fingerprint = _dataset_fingerprint(root, summary)
     if os.path.exists(split_path):
         with open(split_path) as f:
             split = json.load(f)
+        # Stale-cache invalidation: the split/norm/npz caches key on the
+        # precomputed dir, not the dataset — regenerating the dataset (or
+        # pointing the same precomputed_path at a different one) must not
+        # silently train on the previous dataset's caches. The
+        # fingerprint stamp only exists in splits WE wrote: a migrated
+        # reference data_split.json carries no stamp and is trusted
+        # as-is (its precomputed dir may be read-only).
+        if "dataset_fingerprint" in split \
+                and split["dataset_fingerprint"] != fingerprint:
+            print(f"[dataset] {root} changed since the caches in "
+                  f"{precomp} were built — rebuilding split/norm/npz "
+                  "caches")
+            for f_stale in ("data_split.json", "norm.npz",
+                            "training.npz", "test.npz", "val.npz"):
+                p = os.path.join(precomp, f_stale)
+                if os.path.exists(p):
+                    os.remove(p)
+            split = None
+    else:
+        split = None
+    if split is not None:
         train_names = split["train"]
         test_names = split["test"]
         val_names = split["val"]
@@ -321,7 +363,8 @@ def build_datasets(config: dict, template, seed: int = 0):
                 data_cfg.get("augmentation_balanced", True), rng)
         with open(split_path, "w") as f:
             json.dump({"train": train_names, "test": test_names,
-                       "val": val_names}, f)
+                       "val": val_names,
+                       "dataset_fingerprint": fingerprint}, f)
 
     # normalization stats over the train split (cached; a migrated
     # reference precomputed dir carries torch norm.pt instead — import it

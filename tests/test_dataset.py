@@ -389,3 +389,72 @@ class TestBodiesVariant:
         losses = manager.run_epoch(
             BatchIterator(train, 2, shuffle=True), train=True)
         assert np.isfinite(losses["tot"]) and losses["kl"] == 0.0
+
+
+class TestCacheInvalidation:
+    """Regenerating the dataset must invalidate the split/norm/npz caches
+    in precomputed_path (they would otherwise silently serve the previous
+    dataset — observed live in round 4's hard-benchmark retrain); legacy
+    splits without a fingerprint stamp (reference migrations, read-only
+    precomputed dirs) stay trusted as-is."""
+
+    def _workspace(self, tmp_path, scale):
+        import time
+
+        from craniofacialsd_vae_tpu.geometry import write_obj
+        from craniofacialsd_vae_tpu.geometry.synthetic import \
+            synthetic_template
+
+        tpl = synthetic_template(subdivisions=1, n_regions=3)
+        mesh_dir = tmp_path / "meshes"
+        mesh_dir.mkdir(exist_ok=True)
+        rng = np.random.default_rng(0)
+        for c in ["a", "n"]:
+            for i in range(6):
+                write_obj(str(mesh_dir / f"{c}_{i}.obj"),
+                          tpl.pos * scale + rng.normal(
+                              scale=0.01, size=tpl.pos.shape), tpl.face)
+        return tpl, {
+            "data": {"dataset_path": str(mesh_dir),
+                     "precomputed_path": str(tmp_path / "precomp"),
+                     "normalize_data": True, "stratified_split": False,
+                     "augmentation_factor": 0},
+        }
+
+    def test_regenerated_dataset_invalidates_caches(self, tmp_path):
+        from craniofacialsd_vae_tpu.data.dataset import build_datasets
+
+        tpl, config = self._workspace(tmp_path, scale=1.0)
+        _, _, _, norm1, _ = build_datasets(config, tpl)
+
+        import time
+        time.sleep(0.01)               # ensure mtime_ns moves
+        tpl, config = self._workspace(tmp_path, scale=2.0)  # regenerate
+        _, _, _, norm2, _ = build_datasets(config, tpl)
+        # the norm cache was rebuilt from the NEW meshes (~2x template):
+        # with stale caches norm2 would equal norm1 bit-for-bit
+        assert not np.allclose(norm2["mean"], norm1["mean"])
+        np.testing.assert_allclose(norm2["mean"], 2 * tpl.pos, atol=0.05)
+
+    def test_legacy_split_without_stamp_is_trusted(self, tmp_path):
+        import json
+
+        from craniofacialsd_vae_tpu.data.dataset import build_datasets
+
+        tpl, config = self._workspace(tmp_path, scale=1.0)
+        build_datasets(config, tpl)
+        split_path = tmp_path / "precomp" / "data_split.json"
+        with open(split_path) as f:
+            split = json.load(f)
+        assert "dataset_fingerprint" in split
+        del split["dataset_fingerprint"]     # simulate a migrated dir
+        with open(split_path, "w") as f:
+            json.dump(split, f)
+        import time
+        time.sleep(0.01)
+        self._workspace(tmp_path, scale=3.0)  # dataset changes...
+        build_datasets(config, tpl)
+        with open(split_path) as f:
+            again = json.load(f)
+        # ...but the unstamped split was trusted and left untouched
+        assert "dataset_fingerprint" not in again
