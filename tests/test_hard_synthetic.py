@@ -174,3 +174,44 @@ def test_flagship_hard_record_bands():
     inside = {k: v for k, v in heads.items() if 0.6 < v < 0.98}
     assert len(inside) >= 2, \
         f"flagship hard benchmark saturated or collapsed: {heads}"
+
+
+def test_record_hard_benchmark_tool(tmp_path):
+    """tools/record_hard_benchmark.py round-trips a run dir's accuracies
+    into the committed-record schema the band test reads."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = tmp_path / "outputs" / "rec_test"
+    run.mkdir(parents=True)
+    accs = {"accuracy_mlp": 0.9, "accuracy_svm": 0.85,
+            "accuracy_lda": 0.7, "accuracy_qda": 0.5}
+    with open(run / "accuracies.json", "w") as f:
+        json.dump(accs, f)
+
+    # the tool writes into benchmarks/ of the repo — run it against a
+    # scratch copy of the script's REPO via cwd and restore the record
+    record_path = os.path.join(repo, "benchmarks",
+                               "hard_benchmark_record.json")
+    before = open(record_path).read() if os.path.exists(record_path) \
+        else None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "record_hard_benchmark.py"),
+             "--id", "rec_test", "--output_path", str(tmp_path),
+             "--separation", "6", "--note", "unit test"],
+            capture_output=True, text=True, cwd=repo, timeout=60)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        with open(record_path) as f:
+            rec = json.load(f)
+        assert rec["accuracies"] == accs
+        assert rec["run_id"] == "rec_test"
+        assert "--separation 6" in rec["dataset"]
+        assert rec["git_rev"]
+    finally:
+        if before is not None:
+            with open(record_path, "w") as f:
+                f.write(before)
