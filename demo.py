@@ -181,10 +181,13 @@ def main():
           "procedure_distances.csv")
 
     # per-procedure image grid (reference cells 19-25's grid/animation):
-    # one row per procedure at the named stops — patient, 3/2/1-std,
-    # healthy mean. Rendering is host-side and off the perf path; a few
-    # procedures keep the CPU demo bounded.
-    stops = [0, len(path) - 3, len(path) - 2, len(path) - 1]
+    # one row per procedure at the named stops — patient, 3/2/1-std
+    # crossings, healthy mean (walk layout: rows 0..n_p_to_3std-1 walk to
+    # the 3-std stop, then single 2/1-std and mean rows). Rendering is
+    # host-side and off the perf path; a few procedures keep the CPU demo
+    # bounded.
+    stops = [0, len(path) - 4, len(path) - 3, len(path) - 2,
+             len(path) - 1]
     n_proc = min(4, len(plan["procedures"]))
     grid_rows = []
     for proc in list(plan["procedures"])[:n_proc]:
