@@ -154,6 +154,64 @@ def test_on_quiet_not_fired_by_infinite_first_floor(monkeypatch, tmp_path):
     assert ran == []
 
 
+def test_step_floor_rejects_contended_brackets(monkeypatch, tmp_path):
+    """A slope-timed step sample taken while the generic canaries read
+    far above their observed floors is an artifact (contention easing
+    between the short/long scans deflates the slope) — it must not set
+    the step floor, and must land in the rejected audit field."""
+    samples = {"matmul_ms": [3.0, 2.9, 70.0], "gather_ms": [1.5, 1.5, 24.0],
+               "stream_ms": [0.9, 0.9, 10.9],
+               "step_ms": [19.0, 18.5, 12.0],       # 12.0 is the artifact
+               "step_fp32_ms": [27.0, 26.5, 20.0]}
+    out = _run(monkeypatch, tmp_path, samples, extra_args=["--step"])
+    assert out["step_ms"] == 18.5
+    assert out["step_fp32_ms"] == 26.5
+    assert out["best_step_sample"]["step_ms"] == 18.5
+    rej = out["best_step_sample_rejected"]
+    assert rej["step_ms"] == 12.0
+    assert rej["rejected_canary"] == "matmul_ms"
+
+
+def test_step_floor_demoted_when_floors_drop(monkeypatch, tmp_path):
+    """A step sample accepted early in a loud fresh session (nothing to
+    compare its brackets against yet) is demoted once quieter windows
+    reveal its brackets were contended — the floor is re-resolved against
+    the CURRENT generic floors every tick."""
+    samples = {"matmul_ms": [9.0, 3.0, 2.9], "gather_ms": [4.0, 1.5, 1.5],
+               "stream_ms": [2.5, 0.9, 0.9],
+               "step_ms": [11.0, 18.5, 18.8],       # 11.0 looked fine at #1
+               "step_fp32_ms": [19.0, 26.5, 27.0]}
+    out = _run(monkeypatch, tmp_path, samples, extra_args=["--step"])
+    assert out["step_ms"] == 18.5
+    assert out["best_step_sample_rejected"]["step_ms"] == 11.0
+
+
+def test_revalidate_demotes_tainted_record(tmp_path):
+    """--revalidate re-resolves a pre-round-5 record offline: a
+    best_step_sample whose concurrent canaries exceed the sanity factor
+    loses the floor to the best bracket-sane evidence on record."""
+    prev = {"matmul_ms": 3.0, "gather_ms": 1.3, "stream_ms": 0.77,
+            "step_ms": 15.6, "step_fp32_ms": 26.0, "n_samples": 299,
+            "sampled_hours": 14.8,
+            "best_stream_sample": {"matmul_ms": 4.3, "gather_ms": 1.4,
+                                   "stream_ms": 0.77, "step_ms": 18.9,
+                                   "step_fp32_ms": 26.9, "utc": "t1"},
+            "best_step_sample": {"matmul_ms": 70.2, "gather_ms": 24.0,
+                                 "stream_ms": 10.9, "step_ms": 15.6,
+                                 "step_fp32_ms": 26.0, "utc": "t2"}}
+    out_path = tmp_path / "floor.json"
+    out_path.write_text(json.dumps(prev))
+    cf.main(["--revalidate", "--out", str(out_path)])
+    out = json.loads(out_path.read_text())
+    assert out["step_ms"] == 18.9
+    assert out["step_fp32_ms"] == 26.9
+    assert out["best_step_sample"]["utc"] == "t1"
+    assert out["best_step_sample_rejected"]["step_ms"] == 15.6
+    # counters and generic floors survive the revalidation untouched
+    assert out["n_samples"] == 299
+    assert out["matmul_ms"] == 3.0
+
+
 def test_on_quiet_requires_step(monkeypatch, tmp_path):
     with pytest.raises(SystemExit):
         cf.main(["--on_quiet", "echo hi", "--out",

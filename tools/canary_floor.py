@@ -23,6 +23,28 @@ seen, so "stream floor measured while matmul sat at its known 2.1 ms
 floor" is checkable from the file. bench.py uses the recorded stream_ms
 floor as its quiet-window gate denominator; promote it into
 benchmarks/_common.STREAM_QUIET_MS only with that concurrency evidence.
+
+STEP-FLOOR BRACKET SANITY (round 5): the flagship step samples
+(--step: step_ms / step_fp32_ms) are SLOPE-timed — contention easing
+between the short and long scan runs can deflate the slope and produce a
+fastest-ever "step" inside the noisiest-ever window (observed: a 15.60 ms
+step sample whose concurrent matmul canary read 70 ms ≈ 23× quiet — a
+timing artifact, not a floor). A step sample therefore only counts toward
+the recorded step floors when its concurrent generic canaries are within
+--sanity_factor (default 2×) of the best levels this chip has been
+observed at; every step sample is kept as a candidate
+("step_candidates"), the floors are re-resolved against the CURRENT
+generic floors each tick (a candidate accepted early in a loud fresh
+session is demoted once quieter windows reveal it was bracketed by
+contention), and the fastest *rejected* sample is recorded separately
+("best_step_sample_rejected") for the audit trail. The generic canaries
+themselves are plain loop averages — contention can only make them
+slower — so their running minima need no gating.
+
+``--revalidate`` re-resolves an existing record against this policy
+without sampling (no TPU needed): synthesizes candidates from the
+recorded best samples, demotes any bracket-contended step floor, writes
+the cleaned record, and exits.
 """
 
 from __future__ import annotations
@@ -38,6 +60,134 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+GENERIC_KEYS = ("matmul_ms", "gather_ms", "stream_ms")
+STEP_KEYS = ("step_ms", "step_fp32_ms")
+MAX_CANDIDATES_PER_KEY = 25
+
+
+def _utc_now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def _atomic_write_json(path: str, obj: dict):
+    """bench.py reads this file while the sampler runs — never leave a
+    torn write visible."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def candidate_bracket(cand: dict, floors: dict, sanity: float):
+    """None when the candidate's concurrent generic canaries are all
+    within ``sanity`` × the best observed level, else the name of the
+    first canary that breaks the bracket."""
+    for k in GENERIC_KEYS:
+        ref = floors.get(k, float("inf"))
+        v = cand.get(k)
+        if v is None or not math.isfinite(ref):
+            continue
+        if v > sanity * ref:
+            return k
+    return None
+
+
+def prune_candidates(cands: list) -> list:
+    """Keep the union of the MAX_CANDIDATES_PER_KEY smallest candidates
+    by each step key — everything else can never become a floor."""
+    keep = set()
+    for key in STEP_KEYS:
+        ranked = sorted(
+            (i for i, c in enumerate(cands)
+             if isinstance(c.get(key), (int, float))),
+            key=lambda i: cands[i][key])
+        keep.update(ranked[:MAX_CANDIDATES_PER_KEY])
+    return [c for i, c in enumerate(cands) if i in keep]
+
+
+def resolve_step_record(cands: list, floors: dict, sanity: float):
+    """(step_floors, best_sample, best_rejected) from the candidate list
+    against the CURRENT generic floors. best_rejected is the fastest
+    bracket-contended step sample when it beats every sane one — the
+    audit-trail entry that says what the gate refused and why."""
+    sane, insane = [], []
+    for c in cands:
+        (insane if candidate_bracket(c, floors, sanity) else sane).append(c)
+    step_floors = {}
+    for key in STEP_KEYS:
+        vals = [c[key] for c in sane
+                if isinstance(c.get(key), (int, float))]
+        if vals:
+            step_floors[key] = min(vals)
+    stepped = [c for c in sane if isinstance(c.get("step_ms"),
+                                             (int, float))]
+    best = min(stepped, key=lambda c: c["step_ms"]) if stepped else None
+    rejected = None
+    r_stepped = [c for c in insane if isinstance(c.get("step_ms"),
+                                                 (int, float))]
+    if r_stepped:
+        r = min(r_stepped, key=lambda c: c["step_ms"])
+        if best is None or r["step_ms"] < best["step_ms"]:
+            rejected = {**r, "rejected_canary":
+                        candidate_bracket(r, floors, sanity)}
+    return step_floors, best, rejected
+
+
+def load_record(path: str):
+    """Previous session state: (generic floors, legacy step floors,
+    candidates, counters). Candidate provenance is synthesized from the
+    recorded best samples for pre-round-5 files."""
+    floors = {k: float("inf") for k in GENERIC_KEYS}
+    legacy_step, cands, n, sampled_s = {}, [], 0, 0.0
+    best_stream = None
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            if not (k.endswith("_ms") and isinstance(v, (int, float))):
+                continue
+            if k in STEP_KEYS:
+                legacy_step[k] = v
+            else:
+                floors.setdefault(k, float("inf"))
+                floors[k] = min(floors[k], v)
+        n = int(prev.get("n_samples", 0))
+        sampled_s = float(prev.get("sampled_hours", 0.0)) * 3600
+        best_stream = prev.get("best_stream_sample")
+        cands = [c for c in prev.get("step_candidates", [])
+                 if isinstance(c, dict)]
+        if not cands:
+            for s in (prev.get("best_step_sample"),
+                      prev.get("best_stream_sample")):
+                if isinstance(s, dict) and any(k in s for k in STEP_KEYS):
+                    cands.append({k: v for k, v in s.items()
+                                  if k.endswith("_ms") or k == "utc"})
+    return floors, legacy_step, cands, n, sampled_s, best_stream
+
+
+def build_output(floors, legacy_step, cands, n, hours, best_stream,
+                 sanity):
+    step_floors, best_step, rejected = resolve_step_record(
+        cands, floors, sanity)
+    # a legacy floor with no candidate provenance cannot be validated —
+    # carry it rather than lose a prior session's data; candidate-derived
+    # values always take precedence (they are the validated record)
+    merged_step = {**legacy_step, **step_floors}
+    out = {**{k: round(v, 4) for k, v in floors.items()
+              if math.isfinite(v)},
+           **{k: round(v, 4) for k, v in merged_step.items()},
+           "n_samples": n,
+           "best_stream_sample": best_stream,
+           "sampled_hours": round(hours, 2),
+           "sanity_factor": sanity}
+    if cands:
+        out["step_candidates"] = cands
+    if best_step is not None:
+        out["best_step_sample"] = best_step
+    if rejected is not None:
+        out["best_step_sample_rejected"] = rejected
+    return out
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -49,9 +199,19 @@ def main(argv=None):
     parser.add_argument("--step", action="store_true",
                         help="also sample the flagship scanned train step "
                         "(slope-timed ms/step) each interval — the running "
-                        "minimum is the MEASURED quiet step floor that the "
-                        "roofline comparison needs (the bench headline "
-                        "extrapolates it from contended windows otherwise)")
+                        "minimum over bracket-sane samples is the MEASURED "
+                        "quiet step floor that the bench headline and "
+                        "roofline comparison need")
+    parser.add_argument("--sanity_factor", type=float, default=2.0,
+                        help="a step sample only counts toward the floor "
+                        "when every concurrent generic canary is within "
+                        "this factor of its best observed level (slope-"
+                        "timed step readings under contended brackets are "
+                        "artifacts)")
+    parser.add_argument("--revalidate", action="store_true",
+                        help="re-resolve the existing record against the "
+                        "bracket-sanity policy and exit (no sampling, no "
+                        "TPU)")
     parser.add_argument("--on_quiet", type=str, default=None,
                         help="shell command to run (bounded 30 min) when a "
                         "sample shows the step regime genuinely quiet "
@@ -65,6 +225,22 @@ def main(argv=None):
     if args.on_quiet and not args.step:
         parser.error("--on_quiet requires --step (the fp32 step sample "
                      "is the quiet detector)")
+
+    floors, legacy_step, cands, n, sampled_s, best_stream = \
+        load_record(args.out)
+
+    if args.revalidate:
+        out = build_output(floors, legacy_step, cands, n,
+                           sampled_s / 3600, best_stream,
+                           args.sanity_factor)
+        _atomic_write_json(args.out, out)
+        kept = {k: out.get(k) for k in STEP_KEYS if k in out}
+        rej = out.get("best_step_sample_rejected")
+        print(f"[floor] revalidated {args.out}: step floors {kept}"
+              + (f"; rejected {rej['step_ms']:.3f} ms sample "
+                 f"(bracket: {rej['rejected_canary']})" if rej else ""),
+              flush=True)
+        return
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
     jax = setup_jax()
@@ -95,34 +271,14 @@ def main(argv=None):
             rng, compute_dtype="float32")
         seeds["step_fp32_ms"] = FP32_STEP_QUIET_MS
 
-    floors = dict.fromkeys(canaries, float("inf"))
-    best_stream_sample = None   # the FULL sample at the lowest stream_ms:
-    # the promotion criterion ("stream floor concurrent with the known
-    # matmul floor") must be verifiable from the file, and independent
-    # per-canary minima can come from different samples
-    best_step_sample = None     # ditto for the step floor (--step): the
-    # claim "the step's quiet floor is X ms" needs the concurrent canaries
-    # to show the window really was quiet
-    n = 0
     last_quiet_run = None       # --on_quiet cooldown anchor (None =
     # never ran, so the first quiet window always triggers)
-    sampled_s = 0.0             # accumulated across resumed sessions
     t_start = time.time()
     t_end = t_start + args.hours * 3600
-    # resume from a previous sampling session's floors if present
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            prev = json.load(f)
-        for k in prev:
-            # adopt any previously recorded floor (incl. step_ms from a
-            # --step session resumed without the flag — never drop it)
-            if k.endswith("_ms") and isinstance(prev[k], (int, float)):
-                floors.setdefault(k, float("inf"))
-                floors[k] = min(floors[k], prev[k])
-        n = int(prev.get("n_samples", 0))
-        sampled_s = float(prev.get("sampled_hours", 0.0)) * 3600
-        best_stream_sample = prev.get("best_stream_sample")
-        best_step_sample = prev.get("best_step_sample")
+
+    def current_step_floor(key):
+        sf, _, _ = resolve_step_record(cands, floors, args.sanity_factor)
+        return sf.get(key, legacy_step.get(key, float("inf")))
 
     while time.time() < t_end:
         sample = {}
@@ -135,37 +291,33 @@ def main(argv=None):
             time.sleep(args.interval)
             continue
         n += 1
-        # pre-update floor: the on_quiet "dramatic improvement" detector
-        # compares the new sample against what was known BEFORE it
-        prev_fp32_floor = floors.get("step_fp32_ms", float("inf"))
-        improved = [k for k in sample if sample[k] < floors[k]]
+        # pre-update fp32 floor: the on_quiet "dramatic improvement"
+        # detector compares the new sample against what was known BEFORE
+        prev_fp32_floor = current_step_floor("step_fp32_ms")
+        improved = [k for k in sample if k in floors
+                    and sample[k] < floors[k]]
         for k in improved:
             floors[k] = sample[k]
-        if best_stream_sample is None \
-                or sample["stream_ms"] < best_stream_sample["stream_ms"]:
-            best_stream_sample = {
+        if best_stream is None \
+                or sample["stream_ms"] < best_stream["stream_ms"]:
+            best_stream = {
                 **{k: round(v, 4) for k, v in sample.items()},
-                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        if "step_ms" in sample and (
-                best_step_sample is None
-                or sample["step_ms"] < best_step_sample["step_ms"]):
-            best_step_sample = {
-                **{k: round(v, 4) for k, v in sample.items()},
-                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        line = "  ".join(f"{k} {sample[k]:.3f} (floor {floors[k]:.3f}, "
-                         f"seed {seeds[k]})" for k in sample)
+                "utc": _utc_now()}
+        if any(k in sample for k in STEP_KEYS):
+            cands.append({**{k: round(v, 4) for k, v in sample.items()},
+                          "utc": _utc_now()})
+            cands = prune_candidates(cands)
+        line = "  ".join(f"{k} {sample[k]:.3f}" for k in sample)
+        bracket = candidate_bracket(sample, floors, args.sanity_factor)
         print(f"[floor] #{n} {line}"
-              + (f"  ← new floor: {','.join(improved)}" if improved else ""),
+              + (f"  ← new floor: {','.join(improved)}" if improved else "")
+              + (f"  [step bracket contended: {bracket}]"
+                 if bracket and args.step else ""),
               flush=True)
-        out = {**{k: round(v, 4) for k, v in floors.items()},
-               "n_samples": n,
-               "best_stream_sample": best_stream_sample,
-               "sampled_hours": round(
-                   (sampled_s + time.time() - t_start) / 3600, 2)}
-        if best_step_sample is not None:
-            out["best_step_sample"] = best_step_sample
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=1)
+        hours = (sampled_s + time.time() - t_start) / 3600
+        out = build_output(floors, legacy_step, cands, n, hours,
+                           best_stream, args.sanity_factor)
+        _atomic_write_json(args.out, out)
         # quiet-window opportunist: the plateau can last whole sessions,
         # so when the step regime IS quiet, immediately capture the
         # artifacts that need a quiet chip (see --on_quiet). Fires on
@@ -174,8 +326,9 @@ def main(argv=None):
         # never clears), OR dramatically below the best level this
         # sampler has itself recorded (<70% of the observed floor) — a
         # regime improvement worth capturing even if still above the
-        # anchor.
-        if args.on_quiet and "step_fp32_ms" in sample \
+        # anchor. Bracket-contended samples never trigger it: a slope
+        # artifact must not capture "quiet-chip" artifacts on a loud chip.
+        if args.on_quiet and "step_fp32_ms" in sample and bracket is None \
                 and (sample["step_fp32_ms"] / FP32_STEP_QUIET_MS
                      <= args.quiet_threshold
                      or (math.isfinite(prev_fp32_floor)
@@ -201,7 +354,8 @@ def main(argv=None):
         time.sleep(args.interval)
 
     print(f"[floor] done: {n} samples, floors "
-          + ", ".join(f"{k}={floors[k]:.3f}" for k in floors), flush=True)
+          + ", ".join(f"{k}={v:.3f}" for k, v in floors.items()
+                      if math.isfinite(v)), flush=True)
 
 
 if __name__ == "__main__":
