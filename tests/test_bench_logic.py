@@ -124,10 +124,64 @@ def test_exit_keys_override():
     assert trials[0]["step_factor"] == 3.5  # correction factor intact
 
 
+def test_min_trials_accumulates_without_sleeping():
+    """A quiet chip must still produce min_trials measurements for the
+    spread record — back-to-back, with no contention sleep between."""
+    trials, slept = _run([1.0] * 8, min_trials=3)
+    assert len(trials) == 3
+    assert slept == []
+
+
+def test_out_list_salvages_completed_trials():
+    """Trials append into the caller-supplied list IN PLACE, so a
+    deadline exception mid-trial leaves every completed trial visible to
+    the caller (ADVICE r4 medium: they were lost in a local before)."""
+    salvage = []
+
+    class _Boom(Exception):
+        pass
+
+    seq = iter([1.0, 1.0,    # trial 1 brackets: quiet
+                3.0])        # trial 2 pre bracket, then boom
+
+    def canary():
+        v = next(seq, None)
+        if v is None:
+            raise _Boom()
+        return {"factor": v, "matmul_ms": v}
+
+    with pytest.raises(_Boom):
+        run_contention_trials(
+            lambda: 10.0, canary, grid=16, quiet_threshold=1.2,
+            budget_s=100, sleep_s=0, sleep=lambda s: None,
+            clock=itertools.count(0, 1.0).__next__, log=lambda *a: None,
+            out=salvage, min_trials=5)
+    assert len(salvage) == 1
+    assert salvage[0]["meshes_per_sec"] == pytest.approx(16 / 0.010)
+
+
+def test_trial_start_hook_runs_before_each_pre_bracket():
+    order = []
+
+    def canary():
+        order.append("canary")
+        return {"factor": 1.0}
+
+    run_contention_trials(
+        lambda: order.append("step") or 10.0, canary, grid=16,
+        quiet_threshold=1.2, budget_s=100, sleep_s=0,
+        sleep=lambda s: None, clock=itertools.count(0, 1.0).__next__,
+        log=lambda *a: None, min_trials=2,
+        trial_start=lambda: order.append("start"))
+    assert order == ["start", "canary", "step", "canary"] * 2
+
+
 class TestResolveHeadline:
-    """The deadline-tiered headline decision (benchmarks._common
-    .resolve_headline): exactly what lands in BENCH_r*.json under each
-    degradation tier, with provenance."""
+    """The headline decision (benchmarks._common.resolve_headline):
+    exactly what lands in BENCH_r*.json under each tier. Round-5
+    contract: the headline is always a DIRECT measurement (this run's
+    best trial or the validated floor record); the contention-anchored
+    extrapolation is a demoted secondary field."""
 
     def _trial(self, mps, step_factor=None, factor=1.0):
         t = {"meshes_per_sec": mps, "factor": factor,
@@ -136,50 +190,91 @@ class TestResolveHeadline:
             t["step_factor"] = step_factor
         return t
 
-    def test_quiet_trial_is_direct_measurement(self):
+    def test_quiet_trial_stands_uncorrected(self):
         from benchmarks._common import resolve_headline
         r = resolve_headline([self._trial(2800, step_factor=1.05)],
                              None, 16, True, 4.0, roofline_mps=3000)
-        assert r["headline"] == pytest.approx(2800 * 1.05)
+        # the raw measurement IS the headline — no residual correction
+        assert r["headline"] == 2800
         assert r["headline_basis"] == "direct_quiet_measurement"
-        assert r["correction_basis"] == "fp32_step_anchor"
+        assert r["headline_source"] == "this_run_trial"
+        assert r["extrapolated"] == pytest.approx(2800 * 1.05)
         assert not r["capped"]
 
-    def test_contended_trial_is_anchored_and_capped(self):
+    def test_contended_trial_headlines_raw_not_extrapolation(self):
         from benchmarks._common import resolve_headline
         r = resolve_headline([self._trial(950, step_factor=3.48)],
                              None, 16, True, 4.0, roofline_mps=2749)
-        assert r["headline"] == 2749
-        assert r["headline_basis"] == "anchored_correction_roofline_capped"
-        assert r["extrapolated"] == pytest.approx(950 * 3.48)
+        assert r["headline"] == 950
+        assert r["headline_basis"] == "direct_measurement_contended"
+        # the extrapolation survives as the demoted secondary record
+        assert r["extrapolated"] == 2749
+        assert r["extrapolated_basis"] == \
+            "anchored_correction_roofline_capped"
         assert r["capped"]
+
+    def test_floor_record_wins_over_contended_run(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(950, step_factor=3.48)],
+                             None, 16, True, 4.0, floor_mps=1026.0)
+        assert r["headline"] == 1026.0
+        assert r["headline_basis"] == "measured_floor_record"
+        assert r["headline_source"] == "floor_record"
+        assert r["raw"] == 950
+
+    def test_fresh_quiet_run_beats_stale_floor(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([self._trial(2100, step_factor=1.0)],
+                             None, 16, True, 4.0, floor_mps=1026.0)
+        assert r["headline"] == 2100
+        assert r["headline_basis"] == "direct_quiet_measurement"
 
     def test_no_fp32_falls_back_to_generic_canary(self):
         from benchmarks._common import resolve_headline
         r = resolve_headline([self._trial(950, factor=1.6)],
                              None, 16, False, 4.0)
         assert r["correction_basis"] == "generic_canary"
-        assert r["headline"] == pytest.approx(950 * 1.6)
-        assert r["headline_basis"] == "anchored_correction"
+        assert r["headline"] == 950
+        assert r["headline_basis"] == "direct_measurement_contended"
+        assert r["extrapolated"] == pytest.approx(950 * 1.6)
+        assert r["extrapolated_basis"] == "anchored_correction"
 
     def test_provisional_only(self):
         from benchmarks._common import resolve_headline
         r = resolve_headline([], 16.8, 16, False, 4.0, roofline_mps=2749)
         assert r["correction"] == 1.0
         assert r["headline"] == pytest.approx(16 / 16.8 * 1e3)
-        assert r["headline_basis"] == "provisional_uncorrected"
+        assert r["headline_basis"] == "provisional_direct"
+        assert r["extrapolated_basis"] == "provisional_uncorrected"
         assert r["best"] == {}
+
+    def test_provisional_above_roofline_flags_the_cap(self):
+        from benchmarks._common import resolve_headline
+        # ADVICE r4: a capped no-trials provisional must not be labeled
+        # 'anchored' — nothing was anchored
+        r = resolve_headline([], 4.0, 16, False, 4.0, roofline_mps=2749)
+        assert r["extrapolated_basis"] == "provisional_roofline_capped"
+        assert r["extrapolated"] == 2749
+        # the direct headline is NOT capped — it was really measured
+        assert r["headline"] == pytest.approx(16 / 4.0 * 1e3)
 
     def test_nothing_measured(self):
         from benchmarks._common import resolve_headline
         assert resolve_headline([], None, 16, False, 4.0) is None
+
+    def test_floor_only(self):
+        from benchmarks._common import resolve_headline
+        r = resolve_headline([], None, 16, False, 4.0, floor_mps=845.0)
+        assert r["headline"] == 845.0
+        assert r["headline_basis"] == "measured_floor_record"
 
     def test_correction_capped(self):
         from benchmarks._common import resolve_headline
         r = resolve_headline([self._trial(500, step_factor=17.0)],
                              None, 16, True, 4.0)
         assert r["correction"] == 4.0
-        assert r["headline"] == pytest.approx(2000)
+        assert r["extrapolated"] == pytest.approx(2000)
+        assert r["headline"] == 500
 
     def test_quietest_trial_wins(self):
         from benchmarks._common import resolve_headline
@@ -188,4 +283,5 @@ class TestResolveHeadline:
                   self._trial(1200, step_factor=2.0)]
         r = resolve_headline(trials, None, 16, True, 4.0)
         assert r["raw"] == 2700
+        assert r["headline"] == 2700
         assert r["headline_basis"] == "direct_quiet_measurement"
