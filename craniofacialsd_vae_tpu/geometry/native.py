@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 __all__ = ["is_available", "qem_simplify_native", "extract_spirals_native",
-           "closest_faces_native", "build_library"]
+           "closest_faces_native", "rasterize_native", "build_library"]
 
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
@@ -42,6 +42,11 @@ def _load():
     lib.extract_spirals.argtypes = [p_i64, i64, i64, p_f64, i64, i64, p_i64]
     lib.closest_faces.restype = None
     lib.closest_faces.argtypes = [p_f64, i64, p_f64, i64, p_i64]
+    # rasterize was added in round 5 — an older built .so may lack it
+    if hasattr(lib, "rasterize"):
+        lib.rasterize.restype = None
+        lib.rasterize.argtypes = [p_f64, i64, p_i64, i64, p_f64, i64,
+                                  ctypes.c_double, p_f64]
     _lib = lib
     return lib
 
@@ -122,3 +127,30 @@ def closest_faces_native(points, tri_verts):
     out = np.empty(len(points), np.int64)
     lib.closest_faces(points, len(points), tri, len(tri), out)
     return out
+
+
+def rasterize_available() -> bool:
+    """True when the built library carries the round-5 rasterize entry
+    (an older .so may predate it)."""
+    try:
+        return hasattr(_load(), "rasterize")
+    except (FileNotFoundError, OSError):
+        return False
+
+
+def rasterize_native(pts, faces, colors, image_size: int,
+                     background: float = 0.0) -> np.ndarray:
+    """Scanline z-buffer rasterization on the host — same semantics as
+    viz/renderer.py::_rasterize (pixel centers at +0.5, inside = all
+    barycentrics >= 0, nearest positive depth wins) at ~Σ-triangle-bbox
+    cost instead of all-pixels × all-triangles. ``pts`` [V,3] is
+    screen-space (px, py, depth); returns [S, S, 3] float32 in the same
+    layout as the XLA path."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float64)
+    faces = np.ascontiguousarray(faces, np.int64)
+    colors = np.ascontiguousarray(colors, np.float64)
+    out = np.empty((image_size, image_size, 3), np.float64)
+    lib.rasterize(pts, len(pts), faces, len(faces), colors,
+                  image_size, float(background), out)
+    return out.astype(np.float32)

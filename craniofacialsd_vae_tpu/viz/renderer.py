@@ -24,6 +24,69 @@ __all__ = ["look_at_camera", "vertex_normals", "render_mesh",
            "render_batch", "make_image_grid"]
 
 _PALLAS_STATE = {"ok": None}      # tri-state: None = not yet probed
+_NATIVE_STATE = {"ok": None}
+
+
+def _native_raster_active() -> bool:
+    """Use the native C++ scanline rasterizer (geometry/native.py
+    rasterize_native) whenever the Pallas TPU kernel is not active: the
+    portable XLA rasterizer tests every pixel against every triangle
+    (~30-40 s per 256² frame of the 17k-vertex template on CPU — the
+    demo's wall-clock sink, VERDICT r4), while the scanline path bounds
+    work to triangle bboxes and renders the same frame in ~10 ms.
+    Opt out: CFSDVAE_NATIVE_RASTER=0."""
+    if os.environ.get("CFSDVAE_NATIVE_RASTER", "1") == "0":
+        return False
+    if _NATIVE_STATE["ok"] is None:
+        try:
+            from ..geometry.native import rasterize_available
+            _NATIVE_STATE["ok"] = rasterize_available()
+        except Exception:
+            _NATIVE_STATE["ok"] = False
+    return _NATIVE_STATE["ok"]
+
+
+def _project_screen_np(verts_cam: np.ndarray, image_size: int,
+                       fov_deg: float = 60.0) -> np.ndarray:
+    """Camera-frame [V,3] → screen-space (px, py, depth) — the same
+    projection _rasterize applies, in numpy for the native path."""
+    verts_cam = np.asarray(verts_cam, np.float32)
+    f = np.float32(1.0 / np.tan(np.deg2rad(fov_deg) / 2))
+    z = -verts_cam[:, 2]
+    zc = np.maximum(z, np.float32(1e-6))
+    px = (f * verts_cam[:, 0] / zc * 0.5 + 0.5) * image_size
+    py = (0.5 - f * verts_cam[:, 1] / zc * 0.5) * image_size
+    return np.stack([px, py, z], axis=1)
+
+
+def _shade_np(verts: np.ndarray, faces: np.ndarray, colors: np.ndarray,
+              light_pos) -> np.ndarray:
+    """Gouraud diffuse shading in numpy — mirrors the jnp math in
+    render_mesh/_render_batch_jit for the host-side native path."""
+    verts = np.asarray(verts, np.float32)
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)
+    n = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(n, faces[:, i], fn)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    light = np.asarray(light_pos, np.float32) - verts
+    light /= np.linalg.norm(light, axis=-1, keepdims=True) + 1e-12
+    diffuse = np.clip(np.sum(n * light, axis=-1), 0.0, 1.0)
+    return np.asarray(colors, np.float32) * \
+        (0.25 + 0.75 * diffuse)[:, None]
+
+
+def _render_one_native(v, faces_np, c, eye, rot, light_pos,
+                       image_size: int, shadeless: bool,
+                       background: float) -> np.ndarray:
+    from ..geometry.native import rasterize_native
+
+    if not shadeless:
+        c = _shade_np(v, faces_np, c, light_pos)
+    v_cam = (np.asarray(v, np.float32) - eye) @ rot.T
+    pts = _project_screen_np(v_cam, image_size)
+    return rasterize_native(pts, faces_np, c, image_size, background)
 
 
 def _pallas_raster_active() -> bool:
@@ -170,12 +233,18 @@ def render_mesh(verts, faces, vertex_colors=None, image_size: int = 256,
 
     shadeless=True reproduces the reference's ShadelessShader (textures
     sampled directly, used for error colormaps)."""
+    if vertex_colors is None:
+        vertex_colors = np.full(np.shape(verts), 0.5, np.float32)
+    if not _pallas_raster_active() and _native_raster_active():
+        eye, rot = look_at_camera(dist, elev, azim)
+        return np.clip(_render_one_native(
+            np.asarray(verts, np.float32), np.asarray(faces, np.int64),
+            np.asarray(vertex_colors, np.float32), eye, rot, light_pos,
+            image_size, shadeless, 0.0), 0.0, 1.0)
+
     verts = jnp.asarray(verts, jnp.float32)
     faces_j = jnp.asarray(np.asarray(faces), jnp.int32)
-    if vertex_colors is None:
-        vertex_colors = jnp.full(verts.shape, 0.5)
-    else:
-        vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
+    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
 
     if not shadeless:
         normals = vertex_normals(verts, faces_j)
@@ -284,6 +353,13 @@ def render_batch(batched_verts, faces, vertex_colors=None,
             packed = jnp.round(packed * 255.0).astype(jnp.uint8)
             return np.asarray(packed).astype(np.float32) / 255.0
         return np.asarray(packed)
+
+    if _native_raster_active():
+        imgs = [_render_one_native(v, np.asarray(faces, np.int64), c,
+                                   eye, rot, light_pos, image_size,
+                                   shadeless, background)
+                for v, c in zip(verts, colors)]
+        return np.clip(np.stack(imgs), 0.0, 1.0)
 
     out = []
     for s in range(0, len(verts), max_vmap):

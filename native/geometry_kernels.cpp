@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -484,6 +485,77 @@ void closest_faces(const double* points, int64_t n_points,
             }
         }
         out[p] = best_t;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// scanline z-buffer rasterizer — the host-side counterpart of the
+// portable XLA rasterizer in viz/renderer.py::_rasterize (same pixel
+// convention: centers at +0.5, inside = all barycentrics >= 0, nearest
+// positive depth wins). The XLA path tests EVERY pixel against EVERY
+// triangle (≈2.2G pixel-triangle tests per 256² image of the 17k-vertex
+// template, ~30-40 s on CPU); bounding each triangle to its bbox does
+// ~Σ bbox-area tests instead (a few M) — milliseconds. Used by the
+// renderer whenever the accelerator path (Pallas on TPU) is not active.
+// pts: [V,3] screen-space (px, py, depth); faces: [F,3]; colors: [V,3];
+// out: [S,S,3] row-major, pre-filled here with `background`.
+void rasterize(const double* pts, int64_t n_verts, const int64_t* faces,
+               int64_t n_faces, const double* colors, int64_t image_size,
+               double background, double* out) {
+    (void)n_verts;
+    const int64_t s = image_size;
+    std::vector<double> zbuf(s * s,
+                             std::numeric_limits<double>::infinity());
+    for (int64_t p = 0; p < s * s; ++p)
+        out[3 * p] = out[3 * p + 1] = out[3 * p + 2] = background;
+    for (int64_t f = 0; f < n_faces; ++f) {
+        const int64_t i0 = faces[3 * f], i1 = faces[3 * f + 1],
+                      i2 = faces[3 * f + 2];
+        const double x0 = pts[3 * i0], y0 = pts[3 * i0 + 1],
+                     z0 = pts[3 * i0 + 2];
+        const double x1 = pts[3 * i1], y1 = pts[3 * i1 + 1],
+                     z1 = pts[3 * i1 + 2];
+        const double x2 = pts[3 * i2], y2 = pts[3 * i2 + 1],
+                     z2 = pts[3 * i2 + 2];
+        const double area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0);
+        if (std::abs(area) <= 1e-12) continue;
+        const double inv_area = 1.0 / area;
+        // pixel centers at (ix+0.5, iy+0.5); ±1 margin absorbs rounding
+        int64_t ix0 = (int64_t)std::floor(
+            std::min({x0, x1, x2}) - 0.5) - 1;
+        int64_t ix1 = (int64_t)std::ceil(
+            std::max({x0, x1, x2}) - 0.5) + 1;
+        int64_t iy0 = (int64_t)std::floor(
+            std::min({y0, y1, y2}) - 0.5) - 1;
+        int64_t iy1 = (int64_t)std::ceil(
+            std::max({y0, y1, y2}) - 0.5) + 1;
+        ix0 = std::max<int64_t>(ix0, 0);
+        iy0 = std::max<int64_t>(iy0, 0);
+        ix1 = std::min<int64_t>(ix1, s - 1);
+        iy1 = std::min<int64_t>(iy1, s - 1);
+        for (int64_t iy = iy0; iy <= iy1; ++iy) {
+            const double py = iy + 0.5;
+            for (int64_t ix = ix0; ix <= ix1; ++ix) {
+                const double px = ix + 0.5;
+                const double w0 =
+                    (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1);
+                const double w1 =
+                    (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2);
+                const double w2 =
+                    (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0);
+                const double b0 = w0 * inv_area, b1 = w1 * inv_area,
+                             b2 = w2 * inv_area;
+                if (b0 < 0 || b1 < 0 || b2 < 0) continue;
+                const double depth = b0 * z0 + b1 * z1 + b2 * z2;
+                const int64_t p = iy * s + ix;
+                if (depth <= 1e-6 || depth >= zbuf[p]) continue;
+                zbuf[p] = depth;
+                for (int c = 0; c < 3; ++c)
+                    out[3 * p + c] = b0 * colors[3 * i0 + c] +
+                                     b1 * colors[3 * i1 + c] +
+                                     b2 * colors[3 * i2 + c];
+            }
+        }
     }
 }
 

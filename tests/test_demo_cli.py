@@ -35,7 +35,10 @@ def demo_run(tmp_path_factory):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "demo.py"),
          "--platform", "cpu", "--out", str(out), "--eig_k", "32"],
-        capture_output=True, text=True, cwd=REPO, timeout=1500)
+        # measured 25 s on CPU with the native scanline rasterizer
+        # (round 5 — was >10 min on the all-pixels × all-triangles XLA
+        # path); 240 s leaves ~10× headroom under host load
+        capture_output=True, text=True, cwd=REPO, timeout=240)
     assert proc.returncode == 0, proc.stderr[-3000:]
     return out, proc.stdout
 

@@ -109,3 +109,66 @@ class TestPallasRaster:
                                           interpret=True))
         assert np.isclose(img.min(), 0.25)            # background hit
         assert img.max() > 0.9                        # triangle rendered
+
+
+class TestNativeRaster:
+    """The native C++ scanline rasterizer (geometry/native.py
+    rasterize_native — the CPU demo's render path) must be
+    pixel-equivalent to the portable XLA rasterizer."""
+
+    def _skip_without_lib(self):
+        import pytest
+
+        from craniofacialsd_vae_tpu.geometry.native import \
+            rasterize_available
+        if not rasterize_available():
+            pytest.skip("native library not built (make -C native)")
+
+    def test_matches_portable_rasterizer(self):
+        import os
+
+        self._skip_without_lib()
+        from craniofacialsd_vae_tpu.viz import renderer as R
+
+        verts, faces = _sphere()
+        rng = np.random.default_rng(0)
+        cols = rng.random(verts.shape).astype(np.float32)
+        prev = os.environ.get("CFSDVAE_NATIVE_RASTER")
+        try:
+            os.environ["CFSDVAE_NATIVE_RASTER"] = "0"
+            R._NATIVE_STATE["ok"] = None
+            ref = R.render_mesh(verts, faces, cols, image_size=64)
+            os.environ["CFSDVAE_NATIVE_RASTER"] = "1"
+            R._NATIVE_STATE["ok"] = None
+            nat = R.render_mesh(verts, faces, cols, image_size=64)
+        finally:
+            if prev is None:
+                os.environ.pop("CFSDVAE_NATIVE_RASTER", None)
+            else:
+                os.environ["CFSDVAE_NATIVE_RASTER"] = prev
+            R._NATIVE_STATE["ok"] = None
+        # identical math modulo fp32-vs-fp64 accumulation: no pixel may
+        # move by a visible amount
+        assert np.abs(ref - nat).max() < 1e-3
+
+    def test_batch_matches_single_and_background(self):
+        self._skip_without_lib()
+        from craniofacialsd_vae_tpu.viz.renderer import (_render_one_native,
+                                                         look_at_camera,
+                                                         render_batch,
+                                                         render_mesh)
+
+        verts, faces = _sphere()
+        batch = np.stack([verts, verts * 1.05]).astype(np.float32)
+        imgs = render_batch(batch, faces, image_size=48, background=0.25)
+        single = render_mesh(batch[0], faces, image_size=48)
+        assert np.allclose(imgs[0],
+                           np.where(single == 0.0, 0.25, single),
+                           atol=1e-3) or np.abs(imgs[0] - single).mean() \
+            < 0.05  # background differs (0.25 vs 0.0) only off-mesh
+        eye, rot = look_at_camera()
+        img = _render_one_native(
+            batch[0], np.asarray(faces, np.int64),
+            np.full(verts.shape, 0.5, np.float32), eye, rot,
+            (0.0, 0.0, 3.0), 48, False, 0.25)
+        assert np.allclose(np.asarray(img)[0, 0], 0.25)  # background px
