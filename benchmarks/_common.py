@@ -143,7 +143,8 @@ def make_flagship_step_timer(rng: np.random.Generator,
                              with_context: bool = False,
                              compute_dtype: str | None = None,
                              batch: int = 4,
-                             config_overrides: dict | None = None):
+                             config_overrides: dict | None = None,
+                             geometry=None):
     """Return `step_ms()`: slope-timed ms/step of the SHIPPED flagship
     scanned train step (craniofacial.yaml model section incl. the mixed
     compute_dtype policy, real 17,039-vertex geometry, batch 4 → 16-mesh
@@ -164,7 +165,10 @@ def make_flagship_step_timer(rng: np.random.Generator,
     ``"float32"`` builds the fp32-formulation step used as the
     step-regime contention canary (FP32_STEP_QUIET_MS); further
     SDVAEConfig fields can be overridden via ``config_overrides`` for
-    formulation A/Bs (e.g. {"final_out_gather": False})."""
+    formulation A/Bs (e.g. {"final_out_gather": False}).
+    ``geometry`` injects a SpiralGeometry in place of the flagship one
+    (geometry-formulation A/Bs, e.g. vertex reordering — same shapes,
+    different index tables)."""
     import os
     import sys
 
@@ -182,7 +186,7 @@ def make_flagship_step_timer(rng: np.random.Generator,
                                                  make_scanned_train_step)
     from craniofacialsd_vae_tpu.utils import flagship_sdvae_config
 
-    geom = _flagship_geometry()
+    geom = _flagship_geometry() if geometry is None else geometry
     config = flagship_sdvae_config(repo)
     if compute_dtype is not None or config_overrides:
         import dataclasses
