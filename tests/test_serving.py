@@ -360,10 +360,22 @@ def test_diagnose_with_uncertainty(served_run, service):
     assert any(o["uncertainty"]["posterior_mean"] !=
                r["uncertainty"]["posterior_mean"]
                for o, r in zip(other, reports))
-    # single-mesh convenience shape
+    # single-mesh convenience shape. NB only approximate vs the batch-3
+    # report: batch 1 pads to a DIFFERENT bucket, i.e. a different XLA
+    # program shape, and reassociated reductions (gemv vs gemm) may
+    # differ in the last bits — bit-equality is only contracted within
+    # one program shape (the bucket), as the batch-3 vs batch-4 padding
+    # assertions above pin.
     one = service.diagnose(raw[0], n_samples=k, seed=1)
     assert isinstance(one, dict)
-    assert one["uncertainty"] == reports[0]["uncertainty"]
+    u1, u3 = one["uncertainty"], reports[0]["uncertainty"]
+    assert u1["label"] == u3["label"]
+    assert u1["sample_votes"] == u3["sample_votes"]
+    for fieldname in ("posterior_mean", "posterior_std"):
+        for cls, v in u3[fieldname].items():
+            assert u1[fieldname][cls] == pytest.approx(v, abs=1e-5)
+    assert u1["predictive_entropy_nats"] == pytest.approx(
+        u3["predictive_entropy_nats"], abs=1e-5)
     # a non-power-of-two K runs the next-pow2 program and summarizes the
     # first K samples — votes still sum to the REQUESTED count
     odd = service.diagnose(raw[:1], n_samples=5, seed=1)[0]
