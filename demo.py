@@ -38,14 +38,21 @@ def main():
     parser.add_argument("--platform", type=str, default=None,
                         help="force the jax platform (e.g. cpu); the axon "
                              "TPU plugin ignores JAX_PLATFORMS")
-    parser.add_argument("--eig_k", type=int, default=500,
+    parser.add_argument("--eig_k", type=int, default=None,
                         help="Laplacian eigenbasis size for the spectral "
-                             "augmentation demo (lower = faster on CPU)")
+                             "augmentation demo; default 500 on TPU, 64 "
+                             "on CPU (the augmentation interpolates only "
+                             "the first 30 coefficients — reference "
+                             "utils.py:264 — so a small CPU basis keeps "
+                             "the demo inside the reference's ~5-min "
+                             "laptop budget with identical visuals)")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     from craniofacialsd_vae_tpu.utils.runtime import setup_jax
-    setup_jax(platform=args.platform)
+    jax = setup_jax(platform=args.platform)
+    if args.eig_k is None:
+        args.eig_k = 500 if jax.devices()[0].platform == "tpu" else 64
 
     from craniofacialsd_vae_tpu.analysis.classifiers import LatentClassifiers
     from craniofacialsd_vae_tpu.data.augmentation import \
