@@ -115,6 +115,30 @@ def test_eval_cli_interpolate(cli_workspace, smoke_run):
                                        "interpolate_per_feature.png"))
 
 
+def test_eval_cli_refit_classifiers(cli_workspace, smoke_run):
+    """test.py --experiment=refit_classifiers through the real CLI — the
+    path that regenerated the round-5 hard-benchmark record after the
+    Ledoit-Wolf QDA change: refits the zoo from the resumed model's
+    latents, PERSISTS it (classifiers.npz rewritten), and regenerates
+    accuracies.json."""
+    import json
+
+    root, _ = cli_workspace
+    out_dir = os.path.join(str(root), "outputs", "cli_smoke")
+    npz = os.path.join(out_dir, "checkpoints", "classifiers.npz")
+    before = os.path.getmtime(npz)
+    proc, out_dir = _run_eval_cli(root, "cli_smoke", "refit_classifiers")
+    assert os.path.getmtime(npz) > before, \
+        "refit did not persist the classifier zoo"
+    assert "validation accuracy" in proc.stdout
+    with open(os.path.join(out_dir, "accuracies.json")) as f:
+        accs = json.load(f)
+    assert set(accs) >= {"accuracy_mlp", "accuracy_svm",
+                         "accuracy_lda", "accuracy_qda"}, accs
+    for v in accs.values():
+        assert 0.0 <= v <= 1.0
+
+
 def test_eval_cli_saliency(cli_workspace, smoke_run):
     """test.py --experiment=saliency through the real CLI: per-mesh
     attribution JSON on stdout and the colormap artifacts on disk."""
