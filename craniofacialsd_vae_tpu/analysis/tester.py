@@ -233,13 +233,22 @@ class Tester:
 
     @staticmethod
     def _write_video(path, frames, fps=4):
-        """[T, H, W, 3] float frames → mp4, falling back to GIF then to a
-        PNG strip when no ffmpeg backend is installed."""
+        """[T, H, W, 3] float frames → mp4 when an ffmpeg backend exists,
+        else a self-contained Motion-JPEG AVI (viz/video.py — real video,
+        no external encoder needed), then GIF, then a PNG strip."""
         import imageio.v2 as imageio
 
         frames8 = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
         try:
             imageio.mimwrite(path, frames8, fps=fps)
+            return
+        except Exception:
+            pass
+        try:
+            from ..viz.video import write_mjpeg_avi
+
+            avi = path.rsplit(".", 1)[0] + ".avi"
+            write_mjpeg_avi(avi, frames8, fps=fps)
             return
         except Exception:
             pass

@@ -104,16 +104,16 @@ class TestFigureOverlays:
         tester._overlay_on_global_figure(z, str(tmp_path), "traj_emb",
                                          video_name="traj_emb_interp")
         assert (tmp_path / "traj_emb.svg").exists()
-        assert (tmp_path / "traj_emb_interp.gif").exists() or \
-            (tmp_path / "traj_emb_interp.mp4").exists()
+        assert any((tmp_path / f"traj_emb_interp.{ext}").exists()
+                   for ext in ("avi", "gif", "mp4"))
 
     def test_region_grid_overlay(self, tester, tmp_path):
         z = np.random.default_rng(3).normal(size=(3, 6))
         tester._overlay_on_region_grid(z, str(tmp_path), "traj_emb_r",
                                        video=True)
         assert (tmp_path / "traj_emb_r.svg").exists()
-        assert (tmp_path / "traj_emb_r.gif").exists() or \
-            (tmp_path / "traj_emb_r.mp4").exists()
+        assert any((tmp_path / f"traj_emb_r.{ext}").exists()
+                   for ext in ("avi", "gif", "mp4"))
 
     def test_classify_and_project(self, tester, monkeypatch):
         z_fix = np.random.default_rng(4).normal(size=(1, 6))

@@ -172,3 +172,64 @@ class TestNativeRaster:
             np.full(verts.shape, 0.5, np.float32), eye, rot,
             (0.0, 0.0, 3.0), 48, False, 0.25)
         assert np.allclose(np.asarray(img)[0, 0], 0.25)  # background px
+
+
+class TestMJPEGVideo:
+    """viz/video.py — the self-contained AVI writer that keeps the
+    reference's video artifact family alive without ffmpeg. No AVI
+    reader exists in this image, so validation parses the RIFF
+    structure directly and decodes the embedded JPEG frames."""
+
+    def test_write_parse_decode_roundtrip(self, tmp_path):
+        import io
+        import struct
+
+        from PIL import Image
+
+        from craniofacialsd_vae_tpu.viz.video import write_mjpeg_avi
+
+        # smooth gradients (JPEG-friendly; raw noise is maximally
+        # quantization-hostile and would fail any pixel tolerance)
+        yy, xx = np.mgrid[0:48, 0:64]
+        base = np.stack([yy * 4, xx * 3, (yy + xx) * 2],
+                        axis=-1).astype(np.uint8)
+        frames = np.stack([(base * (1 - i / 8)).astype(np.uint8)
+                           for i in range(6)])
+        path = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(path, frames, fps=4)
+
+        data = open(path, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+        pos, jpegs, idx = 12, [], None
+        while pos < len(data):
+            cc = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            payload = data[pos + 8:pos + 8 + size]
+            if cc == b"LIST" and payload[:4] == b"movi":
+                q = 4
+                while q < size:
+                    sub = payload[q:q + 4]
+                    sz = struct.unpack("<I", payload[q + 4:q + 8])[0]
+                    if sub == b"00dc":
+                        jpegs.append(payload[q + 8:q + 8 + sz])
+                    q += 8 + sz + (sz % 2)
+            elif cc == b"idx1":
+                idx = payload
+            pos += 8 + size + (size % 2)
+        assert len(jpegs) == 6
+        assert idx is not None and len(idx) // 16 == 6
+        for j, orig in zip(jpegs, frames):
+            img = np.asarray(Image.open(io.BytesIO(j)))
+            assert img.shape == orig.shape
+            # JPEG-lossy but recognizably the same frame
+            assert np.abs(img.astype(int) - orig.astype(int)).mean() < 8
+
+    def test_tester_fallback_prefers_avi(self, tmp_path):
+        from craniofacialsd_vae_tpu.analysis.tester import Tester
+
+        frames = np.zeros((3, 16, 16, 3), np.float32)
+        Tester._write_video(str(tmp_path / "vid.mp4"), frames, fps=2)
+        # no ffmpeg in this image → the self-contained AVI is written
+        assert (tmp_path / "vid.avi").exists() \
+            or (tmp_path / "vid.mp4").exists()
