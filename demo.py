@@ -171,9 +171,14 @@ def main():
     imageio.imwrite(
         os.path.join(args.out, "planning_interpolation.png"),
         (make_image_grid(imgs, nrow=len(path)) * 255).astype(np.uint8))
+    # the reference notebook's planning ANIMATION analog (demo.ipynb
+    # cell 25) — self-contained MJPEG AVI, no ffmpeg needed
+    from craniofacialsd_vae_tpu.viz.video import write_mjpeg_avi
+    write_mjpeg_avi(os.path.join(args.out, "planning_interpolation.avi"),
+                    (np.clip(imgs, 0, 1) * 255).astype(np.uint8), fps=3)
     print(f"planning demo ({names[sick]} → healthy mean, "
           f"{len(path)}-stop all-attributes walk incl. 3/2/1-std "
-          "crossings) → planning_interpolation.png")
+          "crossings) → planning_interpolation.png/.avi")
 
     # per-procedure distance table (reference procedure_distances.csv):
     # mean-squared latent distance to the healthy mean at each stop
