@@ -73,9 +73,10 @@ def test_demo_covers_all_regions_and_overlays(demo_run):
 
 def test_demo_artifacts_written(demo_run):
     out, stdout = demo_run
-    for png in ("augmentation.png", "planning_interpolation.png",
+    for art in ("augmentation.png", "planning_interpolation.png",
+                "planning_interpolation.avi",   # notebook-animation analog
                 "planning_per_procedure.png"):
-        p = os.path.join(out, png)
+        p = os.path.join(out, art)
         assert os.path.exists(p), stdout
         assert os.path.getsize(p) > 1000
     assert re.search(r"planning demo \(\S+ → healthy mean", stdout)
