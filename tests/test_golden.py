@@ -113,6 +113,34 @@ class TestEighBackends:
         assert rec["subspace_overlap_orthogonality_err"] < 1e-2
         assert rec["cheby_seconds"] > 0
 
+    def test_flagship_eval_record(self):
+        """The committed flagship evaluation record (full reference
+        schedule — craniofacial.yaml, 600 epochs on the real chip —
+        recorded via tools/record_flagship_eval.py) pins the accuracy
+        side of the north star: reconstruction error in real mm on the
+        reference's to_mm scale, plus saturated classifier heads on the
+        easy synthetic set. Bands are generous (regression tripwire, not
+        bit-pinning): the reference reports sub-mm errors for a trained
+        SD-VAE and round-3/5 runs measured ~0.09 mm."""
+        import json
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "benchmarks",
+                            "flagship_eval_record.json")
+        assert os.path.exists(path), \
+            "committed flagship eval record missing"
+        with open(path) as f:
+            rec = json.load(f)
+        recon = rec["recon_errors_mm"]
+        assert 0.0 < recon["mean"] < 0.5, recon
+        assert recon["median"] <= recon["mean"] * 1.5
+        assert recon["max"] < 10.0, recon
+        accs = rec["accuracies"]
+        for head in ("accuracy_mlp", "accuracy_svm", "accuracy_lda",
+                     "accuracy_qda"):
+            assert accs[head] >= 0.9, accs
+
     def test_dense_matches_scipy_small(self):
         from craniofacialsd_vae_tpu.geometry.synthetic import \
             synthetic_template
