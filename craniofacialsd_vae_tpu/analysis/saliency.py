@@ -107,7 +107,12 @@ def make_margin_fn(manager, normalization: dict, qda,
 
     from ..models import encode
 
-    geom, config = manager.geometry, manager.net_config
+    # host-resident geometry copy: these programs close over the
+    # tables (self-contained by design), and tracing a TPU-resident
+    # constant fetches every array over the tunnel — see manager's
+    # geometry_host note
+    geom = getattr(manager, "geometry_host", manager.geometry)
+    config = manager.net_config
     if normalization is None:
         normalization = {"mean": 0.0, "std": 1.0}
     mean = jnp.asarray(normalization["mean"], jnp.float32)

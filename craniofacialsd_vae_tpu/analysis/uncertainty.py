@@ -59,7 +59,12 @@ def make_uncertainty_fn(manager, normalization: dict, qda,
             "(kl_weight > 0) — an AE encoder has no posterior to sample")
     if int(n_samples) < 1:
         raise ValueError(f"n_samples must be >= 1; got {n_samples}")
-    geom, config = manager.geometry, manager.net_config
+    # host-resident geometry copy: these programs close over the
+    # tables (self-contained by design), and tracing a TPU-resident
+    # constant fetches every array over the tunnel — see manager's
+    # geometry_host note
+    geom = getattr(manager, "geometry_host", manager.geometry)
+    config = manager.net_config
     # None for runs trained with normalize_data: False (model-space scans)
     if normalization is None:
         normalization = {"mean": 0.0, "std": 1.0}

@@ -50,7 +50,21 @@ class ModelManager:
             sampling["sampling_factors"], spirals["length"],
             spirals["dilation"],
             region_weighted=sampling.get("type", "basic") != "basic")
-        self.geometry = SpiralGeometry.from_bundle(self.bundle)
+        # Build the geometry tables ON THE HOST CPU device, then push one
+        # copy to the accelerator. Two reasons: (a) the serving/saliency/
+        # uncertainty/export program builders CLOSE OVER the geometry (by
+        # design — exported artifacts are self-contained), and tracing a
+        # closure constant that lives on the tunneled TPU fetches every
+        # one of its 757 arrays device→host in its own round trip
+        # (measured: minutes per fresh process); the host-resident copy
+        # embeds instantly. (b) the runtime copy is transferred
+        # host→device once, asynchronously, instead of leaf-by-leaf
+        # jnp.asarray dispatches.
+        with jax.default_device(jax.devices("cpu")[0]):
+            self.geometry_host = SpiralGeometry.from_bundle(self.bundle)
+        default_dev = jax.devices()[0]
+        self.geometry = self.geometry_host if default_dev.platform == \
+            "cpu" else jax.device_put(self.geometry_host, default_dev)
 
         # --- model + losses ----------------------------------------------
         self.loss_weights = LossWeights.from_config(
@@ -221,23 +235,30 @@ class ModelManager:
     # ------------------------------------------------------------------
     # core model calls — jitted: the eager path paid per-op dispatch on
     # every Tester/demo encode/decode (~30 ms through the tunnel vs ~2 ms
-    # compute); jit caches one compiled program per batch shape
+    # compute); jit caches one compiled program per batch shape.
+    # NB the geometry rides as an ARGUMENT, not a closure: a captured
+    # geometry pytree (757 device arrays, ~12 MB) is embedded as compile-
+    # time constants, and tracing fetches every one of them device→host
+    # in its own tunnel round trip — measured MINUTES of trace time per
+    # fresh process on the tunneled chip (vs instant as an argument,
+    # which only touches abstract avals). The train step passes geom the
+    # same way.
     def _build_inference_jits(self):
-        geom, config = self.geometry, self.net_config
+        config = self.net_config
 
         @jax.jit
-        def _encode(params, x):                 # [B, N, 3] → [B, Z]
+        def _encode(params, geom, x):           # [B, N, 3] → [B, Z]
             mu, _ = encode(params, geom, config, jnp.swapaxes(x, 0, 1))
             return mu
 
         @jax.jit
-        def _decode(params, z):                 # [B, Z] → [B, N, 3]
+        def _decode(params, geom, z):           # [B, Z] → [B, N, 3]
             return jnp.swapaxes(decode(params, geom, config, z), 0, 1)
 
         from functools import partial
 
         @partial(jax.jit, static_argnames=("training",))
-        def _forward(params, x, key, training=False):
+        def _forward(params, geom, x, key, training=False):
             out, z, mu, logvar = forward(params, geom, config,
                                          jnp.swapaxes(x, 0, 1), key,
                                          training)
@@ -252,7 +273,7 @@ class ModelManager:
         single = x.ndim == 2
         if single:
             x = x[None]
-        mu = self._jit_encode(self.state.params, x)
+        mu = self._jit_encode(self.state.params, self.geometry, x)
         return mu[0] if single else mu
 
     def generate(self, z) -> jnp.ndarray:
@@ -261,11 +282,11 @@ class ModelManager:
         single = z.ndim == 1
         if single:
             z = z[None]
-        out = self._jit_decode(self.state.params, z)
+        out = self._jit_decode(self.state.params, self.geometry, z)
         return out[0] if single else out
 
     def forward(self, x, key=None, training: bool = False):
-        return self._jit_forward(self.state.params,
+        return self._jit_forward(self.state.params, self.geometry,
                                  jnp.asarray(x, jnp.float32), key,
                                  training=training)
 
