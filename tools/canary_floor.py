@@ -258,18 +258,14 @@ def main(argv=None):
     canaries = {"matmul_ms": make_matmul_canary(rng),
                 "gather_ms": make_ell_gather_canary(rng),
                 "stream_ms": make_stream_canary(rng)}
-    seeds = {"matmul_ms": MATMUL_QUIET_MS, "gather_ms": GATHER_QUIET_MS,
-             "stream_ms": STREAM_QUIET_MS}
     if args.step:
         from benchmarks._common import FP32_STEP_QUIET_MS
         canaries["step_ms"] = make_flagship_step_timer(rng)
-        seeds["step_ms"] = "-"      # no prior measured quiet floor
         # the fp32 formulation too: its quiet floor is the step-regime
         # contention denominator bench.py normalizes with — a sampled
         # floor at ~FP32_STEP_QUIET_MS validates that anchor directly
         canaries["step_fp32_ms"] = make_flagship_step_timer(
             rng, compute_dtype="float32")
-        seeds["step_fp32_ms"] = FP32_STEP_QUIET_MS
 
     last_quiet_run = None       # --on_quiet cooldown anchor (None =
     # never ran, so the first quiet window always triggers)
