@@ -60,9 +60,13 @@ class ModelManager:
         # embeds instantly. (b) the runtime copy is transferred
         # host→device once, asynchronously, instead of leaf-by-leaf
         # jnp.asarray dispatches.
-        with jax.default_device(jax.devices("cpu")[0]):
+        # local_devices, NOT devices: under multihost, jax.devices() is
+        # the GLOBAL list and index 0 may be another process's device —
+        # committing arrays to a non-addressable device hangs collective
+        # setup (caught by tests/test_multihost_scanned.py)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             self.geometry_host = SpiralGeometry.from_bundle(self.bundle)
-        default_dev = jax.devices()[0]
+        default_dev = jax.local_devices()[0]
         self.geometry = self.geometry_host if default_dev.platform == \
             "cpu" else jax.device_put(self.geometry_host, default_dev)
 
