@@ -24,7 +24,6 @@ import json
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..analysis.classifiers import QDAClassifier

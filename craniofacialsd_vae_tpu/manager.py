@@ -15,7 +15,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from .geometry import load_or_compute_geometry, load_template
 from .models import (SDVAEConfig, SpiralGeometry, decode, encode, forward,

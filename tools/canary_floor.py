@@ -249,8 +249,7 @@ def main(argv=None):
                          "refusing to record host-CPU floors")
     import numpy as np
 
-    from benchmarks._common import (GATHER_QUIET_MS, MATMUL_QUIET_MS,
-                                    STREAM_QUIET_MS, make_ell_gather_canary,
+    from benchmarks._common import (make_ell_gather_canary,
                                     make_flagship_step_timer,
                                     make_matmul_canary, make_stream_canary)
 
