@@ -16,9 +16,13 @@ import pytest
 pytestmark = pytest.mark.slow
 
 # Calibrated on the fixed seeds below (small octasphere template, 3
-# classes, separation 3.2): heads land mid-range (measured 0.5-0.9). The bands
-# are deliberately generous — they must catch "saturated at 1.0" and
-# "collapsed to chance (~0.33)", not bit-level drift.
+# classes, separation 2.6, vertex noise 0.005): all four heads land
+# mid-range (measured 0.67-0.75). Recalibrated in round 5 — the LW-QDA
+# fit strengthened the zoo enough that the old separation-3.2 setting
+# sat on the saturation edge (a passing-margin run saturated every head
+# at 1.0 under benign numeric drift). The bands are deliberately
+# generous — they must catch "saturated at 1.0" and "collapsed to
+# chance (~0.33)", not bit-level drift.
 BAND_LO, BAND_HI = 0.40, 0.999
 
 
@@ -43,8 +47,8 @@ def hard_run(tmp_path_factory):
 
     mesh_dir = str(root / "meshes")
     n_written = generate_dataset(mesh_dir, 150, template=tpl, seed=3,
-                                 k_modes=12, hard=True, separation=3.2,
-                                 vertex_noise=0.004,
+                                 k_modes=12, hard=True, separation=2.6,
+                                 vertex_noise=0.005,
                                  classes=("a", "c", "n"))
     assert n_written == 150
 
